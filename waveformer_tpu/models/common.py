@@ -1,0 +1,217 @@
+"""Shared model primitives: norms, init, stochastic depth, conv helpers.
+
+Torch-semantics notes (for checkpoint parity with the reference):
+  * GELU is the exact erf form (`torch.nn.GELU` default) — JAX's default is
+    the tanh approximation, so every call site here passes
+    `approximate=False`.
+  * InstanceNorm mirrors `torch.nn.InstanceNorm3d` defaults: eps 1e-5,
+    **no affine**, per-(sample, channel) statistics over spatial dims.
+  * LeakyReLU slope 0.01 (MONAI dynunet blocks,
+    `monai/networks/blocks/dynunet_block.py:52`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+# torch nn.Conv3d default init: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in))
+torch_conv_default_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+# reference transformer init (`waveformer.py:206-232`): trunc normal std .02 for
+# dense, He-normal fan_out for convs
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def he_fan_out_conv_init(key, shape, dtype=jnp.float32):
+    """normal(0, sqrt(2 / fan_out)), fan_out = prod(kernel) * out_ch."""
+    receptive = int(np.prod(shape[:-2]))
+    fan_out = receptive * shape[-1]
+    std = float(np.sqrt(2.0 / fan_out))
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    return nn.gelu(x, approximate=False)
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.01) -> jax.Array:
+    return nn.leaky_relu(x, negative_slope=negative_slope)
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """InstanceNorm over spatial axes of (B, D, H, W, C), no affine."""
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(x, axis=(1, 2, 3), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class InstanceNormAffine(nn.Module):
+    """InstanceNorm3d(affine=True) equivalent (per-channel scale/bias)."""
+
+    features: int
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = instance_norm(x.astype(jnp.float32), self.eps)
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return (y * scale + bias).astype(self.dtype)
+
+
+class ChannelGroupNorm(nn.Module):
+    """torch GroupNorm(num_groups=C, num_channels=C): per-channel norm over
+    spatial dims with affine params (used by `ProjectionUpsample`,
+    reference `wave_helper.py:60`)."""
+
+    features: int
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = instance_norm(x.astype(jnp.float32), self.eps)
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return (y * scale + bias).astype(self.dtype)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the trailing channel axis (torch-compatible)."""
+
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ln = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="ln")
+        return ln(x)
+
+
+def layer_norm_stateless(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Parameter-free F.layer_norm over the channel axis (reference
+    `waveformer.py:197-203` proj_out)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath, scale_by_keep=True)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class Conv3d(nn.Module):
+    """Channels-last 3D conv with torch-compatible geometry."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: Optional[int] = None  # None → torch 'same-for-odd-k' padding
+    groups: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = torch_conv_default_init
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        pad = self.padding if self.padding is not None else (k - self.stride + 1) // 2
+        conv = nn.Conv(
+            features=self.features,
+            kernel_size=(k, k, k),
+            strides=(self.stride,) * 3,
+            padding=[(pad, pad)] * 3,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+            name="conv",
+        )
+        return conv(x)
+
+
+class ConvTranspose2x(nn.Module):
+    """Transposed conv with kernel=stride=2 (MONAI `UnetrUpBlock.transp_conv`,
+    `monai/networks/blocks/dynunet_block.py:216-228` geometry).
+
+    With kernel == stride the op is exactly: dense C→8·O followed by a
+    depth-to-space interleave — a single MXU matmul instead of a scatter,
+    which is the TPU-native formulation.
+    """
+
+    features: int
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, d, h, w, c = x.shape
+        o = self.features
+        # kernel laid out as (C_in, 2, 2, 2, O) == torch convT (I, O, kD, kH, kW)
+        # permuted; converter handles the mapping.
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (c, 2, 2, 2, o),
+        )
+        y = jnp.einsum(
+            "bdhwc,cijko->bdihjwko",
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+        )
+        y = y.reshape(b, 2 * d, 2 * h, 2 * w, o)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (o,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class PatchEmbed(nn.Module):
+    """Non-overlapping patch embedding (MONAI `PatchEmbed`,
+    `monai/networks/blocks/patchembedding.py:147-225`, patch_norm=False).
+
+    Conv k=p=s is expressed as space-to-depth + dense: the canonical
+    MXU-friendly stem on TPU.
+    """
+
+    embed_dim: int
+    patch_size: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, d, h, w, c = x.shape
+        p = self.patch_size
+        x = x.reshape(b, d // p, p, h // p, p, w // p, p, c)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        x = x.reshape(b, d // p, h // p, w // p, p * p * p * c)
+        dense = nn.Dense(
+            self.embed_dim,
+            use_bias=True,
+            kernel_init=torch_conv_default_init,
+            dtype=self.dtype,
+            name="proj",
+        )
+        return dense(x)

@@ -24,7 +24,8 @@ def window_partition(x: jax.Array, window_size: int) -> jax.Array:
 def window_unpartition(
     windows: jax.Array, window_size: int, grid: tuple[int, int, int]
 ) -> jax.Array:
-    """(B * nW, window_size**3, C) → (B, D, H, W, C)."""
+    """(B * nW, window_size**3, C) → (B, D, H, W, C). True inverse of
+    `window_partition`."""
     d, h, w = grid
     ws = window_size
     c = windows.shape[-1]
@@ -32,3 +33,22 @@ def window_unpartition(
     x = windows.reshape(b, d // ws, h // ws, w // ws, ws, ws, ws, c)
     x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
     return x.reshape(b, d, h, w, c)
+
+
+def window_unpartition_flat(
+    windows: jax.Array, window_size: int, grid: tuple[int, int, int]
+) -> jax.Array:
+    """Reference-compatible window merge (`wave_helper.py:498-499`).
+
+    The reference reshapes `(B, nW, ws, ws, ws, C)` row-major straight into
+    `(B, D, H, W, C)` — which is NOT the inverse of its window partition when
+    nW > 1: spatial positions land scrambled. Released checkpoints were
+    trained with exactly this mapping, so the model replicates it (identical
+    to the true inverse when nW == 1, i.e. the deepest DWT scale).
+    """
+    d, h, w = grid
+    ws = window_size
+    c = windows.shape[-1]
+    n_windows = (d // ws) * (h // ws) * (w // ws)
+    b = windows.shape[0] // n_windows
+    return windows.reshape(b, d, h, w, c)
