@@ -1,0 +1,148 @@
+"""Sliding-window engine parity vs vendored MONAI + invariants."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waveformer_tpu.inference.sliding_window import (
+    SlidingWindowInferer,
+    bucket_shape,
+    compute_importance_map,
+    count_map,
+    dense_patch_starts,
+    sliding_window_inference,
+)
+
+REF = os.path.isdir("/root/reference")
+
+
+class TestGrid:
+    def test_single_patch(self):
+        s = dense_patch_starts((16, 16, 16), (16, 16, 16), 0.5)
+        np.testing.assert_array_equal(s, [[0, 0, 0]])
+
+    def test_end_alignment(self):
+        s = dense_patch_starts((20, 16, 16), (16, 16, 16), 0.5)
+        np.testing.assert_array_equal(s[:, 0], [0, 4])
+
+    @pytest.mark.skipif(not REF, reason="reference not mounted")
+    def test_matches_monai_dense_patch_slices(self):
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        from monai.data.utils import dense_patch_slices
+
+        for shape in [(37, 41, 16), (16, 16, 16), (48, 33, 20)]:
+            want = dense_patch_slices(shape, (16, 16, 16), (8, 8, 8))
+            got = dense_patch_starts(shape, (16, 16, 16), 0.5)
+            want_starts = np.asarray(
+                [[sl.start for sl in p] for p in want], np.int32
+            )
+            np.testing.assert_array_equal(got, want_starts)
+
+
+class TestImportanceMap:
+    @pytest.mark.skipif(not REF, reason="reference not mounted")
+    def test_matches_monai_gaussian(self):
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        from monai.data.utils import compute_importance_map as monai_imp
+
+        want = monai_imp((16, 16, 16), mode="gaussian").numpy()
+        got = compute_importance_map((16, 16, 16))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_constant(self):
+        np.testing.assert_array_equal(
+            compute_importance_map((4, 4, 4), "constant"), np.ones((4, 4, 4))
+        )
+
+
+class TestSlidingWindow:
+    def _identity_predictor(self, out_channels):
+        # logits = input channel replicated: blending of a linear function of
+        # the input must reproduce that function exactly after count divide
+        def predictor(patches):
+            return jnp.repeat(patches[..., :1], out_channels, axis=-1)
+
+        return predictor
+
+    def test_identity_blend_exact(self, rng):
+        vol = jnp.asarray(rng.standard_normal((24, 24, 24, 2)), jnp.float32)
+        out = sliding_window_inference(
+            vol, self._identity_predictor(3), (16, 16, 16), 3, 0.5, 2
+        )
+        want = np.repeat(np.asarray(vol)[..., :1], 3, axis=-1)
+        np.testing.assert_allclose(np.asarray(out), want, atol=1e-4)
+
+    def test_mirror_tta_of_symmetric_predictor_unchanged(self, rng):
+        vol = jnp.asarray(rng.standard_normal((16, 16, 16, 1)), jnp.float32)
+        pred = self._identity_predictor(2)
+        base = sliding_window_inference(vol, pred, (16, 16, 16), 2)
+        tta = sliding_window_inference(
+            vol, pred, (16, 16, 16), 2, mirror_axes=(0, 1, 2)
+        )
+        np.testing.assert_allclose(np.asarray(base), np.asarray(tta), atol=1e-5)
+
+    @pytest.mark.skipif(not REF, reason="reference not mounted")
+    def test_matches_monai_sliding_window(self, rng):
+        """Same conv predictor in torch & jax; blended outputs must agree
+        (volume sized so no bucket padding occurs)."""
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        import torch
+
+        from monai.inferers import sliding_window_inference as monai_swi
+
+        kernel = rng.standard_normal((3, 2, 3, 3, 3)).astype(np.float32) * 0.2
+
+        def jax_pred(patches):  # (B, d, h, w, 2) -> (B, d, h, w, 3)
+            k = jnp.asarray(kernel.transpose(2, 3, 4, 1, 0))
+            return jax.lax.conv_general_dilated(
+                patches, k, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+
+        def torch_pred(x):  # (B, 2, d, h, w) -> (B, 3, d, h, w)
+            return torch.nn.functional.conv3d(
+                x, torch.from_numpy(kernel), padding=1
+            )
+
+        vol = rng.standard_normal((24, 24, 24, 2)).astype(np.float32)
+        got = sliding_window_inference(
+            jnp.asarray(vol), jax_pred, (16, 16, 16), 3,
+            overlap=0.5, sw_batch_size=2,
+        )
+        with torch.no_grad():
+            want = monai_swi(
+                torch.from_numpy(vol.transpose(3, 0, 1, 2))[None],
+                roi_size=(16, 16, 16),
+                sw_batch_size=2,
+                predictor=torch_pred,
+                overlap=0.5,
+                mode="gaussian",
+            )[0].numpy().transpose(1, 2, 3, 0)
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+    def test_inferer_class_bucket_padding(self, rng):
+        """Odd case shape → bucketed executable, output cropped to original."""
+        inferer = SlidingWindowInferer((16, 16, 16), sw_batch_size=2)
+        vol = rng.standard_normal((19, 25, 17, 2)).astype(np.float32)
+        out = inferer(vol, self._identity_predictor(2), out_channels=2)
+        assert out.shape == (19, 25, 17, 2)
+        # one compiled program reused for a second case in the same bucket
+        vol2 = rng.standard_normal((20, 26, 18, 2)).astype(np.float32)
+        out2 = inferer(vol2, self._identity_predictor(2), out_channels=2)
+        assert bucket_shape((19, 25, 17), (16,) * 3, 0.5) == bucket_shape(
+            (20, 26, 18), (16,) * 3, 0.5
+        )
+        assert out2.shape == (20, 26, 18, 2)
+
+    def test_count_map_positive(self):
+        cm = count_map((24, 24, 24), (16, 16, 16), 0.5)
+        assert (cm > 0).all()

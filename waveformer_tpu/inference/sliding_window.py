@@ -1,0 +1,275 @@
+"""On-device sliding-window inference with Gaussian blending + mirror TTA.
+
+Reimplements the reference's inference core — MONAI
+`sliding_window_inference` (`monai/inferers/utils.py:43-405`, stitch loop
+`:216-301`), `compute_importance_map` (`monai/data/utils.py:1088-1139`),
+`dense_patch_slices` (`monai/data/utils.py:171-213`) and the 8-way mirror
+TTA of `Predictor.maybe_mirror_and_predict`
+(`light_training/prediction.py:110-160`) — as ONE compiled XLA program:
+
+  * patch grid, Gaussian importance map and the weight count-map are
+    precomputed on host (input-independent);
+  * the patch loop is a `lax.scan` over chunks of `sw_batch` windows:
+    `dynamic_slice` gather → batched model forward → weighted
+    `dynamic_update_slice` accumulate;
+  * mirror TTA is a static 8-way loop of full-volume flips around the scan
+    (bitwise-identical semantics to the reference's volume-level flips);
+  * volumes are padded to shape *buckets* (multiples of the scan interval)
+    so one executable serves many case shapes — XLA requires static shapes
+    and a per-case recompile would dwarf the inference itself.
+
+The divide-by-count happens once at the end in fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import math
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def compute_importance_map(
+    patch_size: Tuple[int, ...],
+    mode: str = "gaussian",
+    sigma_scale: float = 0.125,
+) -> np.ndarray:
+    """MONAI-parity importance map (`monai/data/utils.py:1088-1139`)."""
+    if mode == "constant":
+        return np.ones(patch_size, dtype=np.float32)
+    if mode != "gaussian":
+        raise ValueError(f"unsupported blend mode {mode!r}")
+    maps = []
+    for n in patch_size:
+        sigma = sigma_scale * n
+        x = np.arange(-(n - 1) / 2.0, (n - 1) / 2.0 + 1, dtype=np.float64)
+        maps.append(np.exp(-(x**2) / (2 * sigma**2)))
+    m = functools.reduce(np.multiply.outer, maps)
+    min_non_zero = max(m.min(), 1e-3)
+    return np.clip(m, min_non_zero, None).astype(np.float32)
+
+
+def scan_interval(
+    roi_size: Sequence[int], overlap: float
+) -> Tuple[int, ...]:
+    """MONAI `_get_scan_interval`: int(roi * (1 - overlap)) per dim."""
+    return tuple(
+        max(int(r * (1.0 - overlap)), 1) if r > 1 else 1 for r in roi_size
+    )
+
+
+def dense_patch_starts(
+    image_size: Sequence[int], roi_size: Sequence[int], overlap: float
+) -> np.ndarray:
+    """(N, 3) int32 patch start corners (MONAI `dense_patch_slices`
+    semantics, `monai/data/utils.py:171-213`): stride = interval, last patch
+    shifted flush with the volume end."""
+    interval = scan_interval(roi_size, overlap)
+    per_dim = []
+    for L, r, s in zip(image_size, roi_size, interval):
+        if L <= r:
+            per_dim.append([0])
+            continue
+        n = next(
+            d for d in range(int(math.ceil(L / s)) + 1) if d * s + r >= L
+        ) + 1
+        starts = []
+        for i in range(n):
+            st = i * s
+            st -= max(st + r - L, 0)
+            starts.append(st)
+        per_dim.append(starts)
+    grid = np.meshgrid(*per_dim, indexing="ij")
+    return np.stack([g.reshape(-1) for g in grid], axis=-1).astype(np.int32)
+
+
+def bucket_shape(
+    image_size: Sequence[int], roi_size: Sequence[int], overlap: float
+) -> Tuple[int, ...]:
+    """Round spatial dims up so one compiled program covers many cases:
+    at least `roi`, then to a multiple of the scan interval."""
+    interval = scan_interval(roi_size, overlap)
+    out = []
+    for L, r, s in zip(image_size, roi_size, interval):
+        L = max(L, r)
+        out.append(r + int(math.ceil((L - r) / s)) * s)
+    return tuple(out)
+
+
+def count_map(
+    image_size: Sequence[int], roi_size: Sequence[int], overlap: float,
+    mode: str = "gaussian",
+) -> np.ndarray:
+    """Host-precomputed Σ importance weights per voxel (input-independent)."""
+    imp = compute_importance_map(tuple(roi_size), mode)
+    starts = dense_patch_starts(image_size, roi_size, overlap)
+    cm = np.zeros(tuple(image_size), dtype=np.float32)
+    for s in starts:
+        sl = tuple(slice(int(a), int(a) + r) for a, r in zip(s, roi_size))
+        cm[sl] += imp
+    return cm
+
+
+def _flip_axes_combinations(mirror_axes: Sequence[int]):
+    """All subsets of mirror axes incl. empty — the reference's 8 TTA passes
+    (`light_training/prediction.py:127-158`)."""
+    combos = [()]
+    for r in range(1, len(mirror_axes) + 1):
+        combos.extend(itertools.combinations(mirror_axes, r))
+    return combos
+
+
+def sliding_window_inference(
+    volume: jax.Array,
+    predictor: Callable[[jax.Array], jax.Array],
+    roi_size: Tuple[int, int, int],
+    out_channels: int,
+    overlap: float = 0.5,
+    sw_batch_size: int = 2,
+    mode: str = "gaussian",
+    mirror_axes: Optional[Sequence[int]] = None,
+) -> jax.Array:
+    """Blend `predictor` outputs over dense patches of one volume.
+
+    volume: (D, H, W, C) channels-last, spatial dims already bucket-padded.
+    predictor: (B, *roi, C) → (B, *roi, out_channels) logits.
+    Returns (D, H, W, out_channels) fp32 logits (TTA-averaged if mirrored).
+    """
+    spatial = volume.shape[:3]
+    starts_np = dense_patch_starts(spatial, roi_size, overlap)
+    n_patches = len(starts_np)
+    pad_to = int(math.ceil(n_patches / sw_batch_size)) * sw_batch_size
+    # repeat the final patch to fill the last chunk: its duplicate
+    # contribution is cancelled by using precomputed count of actual patches
+    # — but to keep weights exact we instead mask duplicates to zero weight.
+    dup_mask = np.ones((pad_to,), np.float32)
+    if pad_to > n_patches:
+        starts_np = np.concatenate(
+            [starts_np, np.repeat(starts_np[-1:], pad_to - n_patches, 0)], 0
+        )
+        dup_mask[n_patches:] = 0.0
+    starts = jnp.asarray(starts_np)
+    mask = jnp.asarray(dup_mask)
+
+    imp = jnp.asarray(compute_importance_map(tuple(roi_size), mode))
+    cm = jnp.asarray(count_map(spatial, roi_size, overlap, mode))
+
+    def run_one_orientation(vol: jax.Array) -> jax.Array:
+        acc = jnp.zeros((*spatial, out_channels), jnp.float32)
+
+        def chunk_body(acc, chunk_idx):
+            idx0 = chunk_idx * sw_batch_size
+
+            def gather(i):
+                s = starts[idx0 + i]
+                return jax.lax.dynamic_slice(
+                    vol,
+                    (s[0], s[1], s[2], 0),
+                    (*roi_size, vol.shape[-1]),
+                )
+
+            patches = jnp.stack(
+                [gather(i) for i in range(sw_batch_size)], axis=0
+            )
+            logits = predictor(patches).astype(jnp.float32)
+            logits = logits * imp[None, ..., None]
+
+            def scatter(acc, i):
+                s = starts[idx0 + i]
+                cur = jax.lax.dynamic_slice(
+                    acc, (s[0], s[1], s[2], 0), (*roi_size, out_channels)
+                )
+                upd = cur + logits[i] * mask[idx0 + i]
+                return jax.lax.dynamic_update_slice(
+                    acc, upd, (s[0], s[1], s[2], 0)
+                )
+
+            for i in range(sw_batch_size):
+                acc = scatter(acc, i)
+            return acc, None
+
+        n_chunks = pad_to // sw_batch_size
+        acc, _ = jax.lax.scan(
+            chunk_body, acc, jnp.arange(n_chunks)
+        )
+        return acc
+
+    if not mirror_axes:
+        total = run_one_orientation(volume)
+    else:
+        combos = _flip_axes_combinations(tuple(mirror_axes))
+        total = jnp.zeros((*spatial, out_channels), jnp.float32)
+        for axes in combos:
+            flip_dims = tuple(a for a in axes)  # spatial axes 0/1/2
+            v = jnp.flip(volume, axis=flip_dims) if flip_dims else volume
+            pred = run_one_orientation(v)
+            pred = jnp.flip(pred, axis=flip_dims) if flip_dims else pred
+            total = total + pred
+        total = total / len(combos)
+
+    return total / cm[..., None]
+
+
+class SlidingWindowInferer:
+    """Configured wrapper (MONAI `SlidingWindowInferer`,
+    `monai/inferers/inferer.py:382-537`) with jit caching per padded shape.
+
+    Usage:
+        inferer = SlidingWindowInferer(roi_size=(128,)*3, sw_batch_size=2,
+                                       overlap=0.5, mirror_axes=(0, 1, 2))
+        logits = inferer(volume_dhwc, predictor, out_channels=4)
+    """
+
+    def __init__(
+        self,
+        roi_size: Tuple[int, int, int],
+        sw_batch_size: int = 2,
+        overlap: float = 0.5,
+        mode: str = "gaussian",
+        mirror_axes: Optional[Sequence[int]] = None,
+    ):
+        self.roi_size = tuple(roi_size)
+        self.sw_batch_size = sw_batch_size
+        self.overlap = overlap
+        self.mode = mode
+        self.mirror_axes = tuple(mirror_axes) if mirror_axes else None
+        self._compiled = {}
+
+    def padded_shape(self, spatial: Sequence[int]) -> Tuple[int, ...]:
+        return bucket_shape(spatial, self.roi_size, self.overlap)
+
+    def __call__(
+        self,
+        volume: jax.Array | np.ndarray,
+        predictor: Callable,
+        out_channels: int,
+    ) -> jax.Array:
+        """volume: (D, H, W, C); returns logits at the ORIGINAL shape."""
+        spatial = tuple(volume.shape[:3])
+        padded = self.padded_shape(spatial)
+        pads = [(0, p - s) for p, s in zip(padded, spatial)] + [(0, 0)]
+        vol = jnp.asarray(volume)
+        if any(p != (0, 0) for p in pads):
+            vol = jnp.pad(vol, pads)
+
+        key = (padded, out_channels, id(predictor))
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                functools.partial(
+                    sliding_window_inference,
+                    predictor=predictor,
+                    roi_size=self.roi_size,
+                    out_channels=out_channels,
+                    overlap=self.overlap,
+                    sw_batch_size=self.sw_batch_size,
+                    mode=self.mode,
+                    mirror_axes=self.mirror_axes,
+                )
+            )
+        logits = self._compiled[key](vol)
+        return logits[: spatial[0], : spatial[1], : spatial[2], :]

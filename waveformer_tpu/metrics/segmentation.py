@@ -1,0 +1,199 @@
+"""Segmentation metrics: Dice, HD95, surface distances, confusion stats.
+
+Replaces the reference's medpy-backed metric stack
+(`light_training/evaluation/metric.py:25-405`, `5_compute_metrics.py:15-37`)
+with numpy/scipy (host) + jax (on-device validation dice):
+
+  * `dice` / `hausdorff_distance_95` reproduce medpy `binary.dc` /
+    `binary.hd95` semantics (binary erosion surface extraction,
+    EDT distances, 95th percentile of the symmetric distance set).
+  * `cal_metric` keeps the reference's empty-mask conventions
+    (`5_compute_metrics.py:15-21`: non-empty → [dice, hd95];
+    otherwise [0, 50]).
+  * `convert_labels_brats` is the TC/WT/ET conversion (`3_train.py:104-112`).
+  * `dice_jax` is the jit-friendly per-class dice used during training
+    validation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:  # jax is always present in this image, but keep metrics importable
+    import jax
+    import jax.numpy as jnp
+
+    _HAS_JAX = True
+except Exception:  # pragma: no cover
+    _HAS_JAX = False
+
+
+# --------------------------------------------------------------------------- #
+# overlap metrics (numpy)
+# --------------------------------------------------------------------------- #
+
+
+class ConfusionStats:
+    """tp/fp/tn/fn bundle (capability of `evaluation/metric.py:25-102`)."""
+
+    def __init__(self, pred: np.ndarray, gt: np.ndarray):
+        p = np.asarray(pred).astype(bool)
+        g = np.asarray(gt).astype(bool)
+        self.tp = int(np.count_nonzero(p & g))
+        self.fp = int(np.count_nonzero(p & ~g))
+        self.fn = int(np.count_nonzero(~p & g))
+        self.tn = int(np.count_nonzero(~p & ~g))
+
+    @property
+    def n(self):
+        return self.tp + self.fp + self.fn + self.tn
+
+    def dice(self) -> float:
+        denom = 2 * self.tp + self.fp + self.fn
+        return 2 * self.tp / denom if denom else 0.0
+
+    def jaccard(self) -> float:
+        denom = self.tp + self.fp + self.fn
+        return self.tp / denom if denom else 0.0
+
+    def precision(self) -> float:
+        denom = self.tp + self.fp
+        return self.tp / denom if denom else 0.0
+
+    def recall(self) -> float:
+        denom = self.tp + self.fn
+        return self.tp / denom if denom else 0.0
+
+    def specificity(self) -> float:
+        denom = self.tn + self.fp
+        return self.tn / denom if denom else 0.0
+
+    def accuracy(self) -> float:
+        return (self.tp + self.tn) / self.n if self.n else 0.0
+
+    def fscore(self, beta: float = 1.0) -> float:
+        p, r = self.precision(), self.recall()
+        denom = beta**2 * p + r
+        return (1 + beta**2) * p * r / denom if denom else 0.0
+
+
+def dice(pred: np.ndarray, gt: np.ndarray) -> float:
+    """medpy `binary.dc` semantics."""
+    return ConfusionStats(pred, gt).dice()
+
+
+# --------------------------------------------------------------------------- #
+# surface distances (numpy + scipy)
+# --------------------------------------------------------------------------- #
+
+
+def _surface(mask: np.ndarray) -> np.ndarray:
+    from scipy import ndimage
+
+    mask = mask.astype(bool)
+    structure = ndimage.generate_binary_structure(mask.ndim, 1)
+    eroded = ndimage.binary_erosion(mask, structure=structure, border_value=0)
+    return mask & ~eroded
+
+
+def surface_distances(
+    pred: np.ndarray,
+    gt: np.ndarray,
+    voxelspacing: Optional[Sequence[float]] = None,
+) -> np.ndarray:
+    """Distances from pred surface voxels to the gt surface (medpy
+    `__surface_distances` semantics)."""
+    from scipy import ndimage
+
+    pred_border = _surface(pred)
+    gt_border = _surface(gt)
+    if not pred_border.any() or not gt_border.any():
+        raise ValueError("empty mask has no surface")
+    dt = ndimage.distance_transform_edt(~gt_border, sampling=voxelspacing)
+    return dt[pred_border]
+
+
+def hausdorff_distance_95(
+    pred: np.ndarray,
+    gt: np.ndarray,
+    voxelspacing: Optional[Sequence[float]] = None,
+) -> float:
+    """medpy `binary.hd95`: max of the two directed 95th percentiles."""
+    d1 = surface_distances(pred, gt, voxelspacing)
+    d2 = surface_distances(gt, pred, voxelspacing)
+    return float(max(np.percentile(d1, 95), np.percentile(d2, 95)))
+
+
+def average_surface_distance(
+    pred: np.ndarray,
+    gt: np.ndarray,
+    voxelspacing: Optional[Sequence[float]] = None,
+) -> float:
+    """medpy `binary.asd`."""
+    return float(surface_distances(pred, gt, voxelspacing).mean())
+
+
+# --------------------------------------------------------------------------- #
+# BraTS conventions
+# --------------------------------------------------------------------------- #
+
+
+def convert_labels_brats(labels: np.ndarray) -> np.ndarray:
+    """Label map → (3, *spatial) binary stack: TC, WT, ET
+    (`3_train.py:104-112`; BraTS2023: 1=NCR, 2=ED, 3=ET)."""
+    labels = np.asarray(labels)
+    tc = (labels == 1) | (labels == 3)
+    wt = tc | (labels == 2)
+    et = labels == 3
+    return np.stack([tc, wt, et]).astype(np.float32)
+
+
+def cal_metric(
+    gt: np.ndarray,
+    pred: np.ndarray,
+    voxel_spacing: Sequence[float] = (1.0, 1.0, 1.0),
+) -> np.ndarray:
+    """Per-class [dice, hd95] with the reference's empty conventions
+    (`5_compute_metrics.py:15-21`)."""
+    if pred.sum() > 0 and gt.sum() > 0:
+        return np.array(
+            [dice(pred, gt), hausdorff_distance_95(pred, gt, voxel_spacing)]
+        )
+    return np.array([0.0, 50.0])
+
+
+def brats_case_metrics(
+    gt_labels: np.ndarray,
+    pred_labels: np.ndarray,
+    voxel_spacing: Sequence[float] = (1.0, 1.0, 1.0),
+) -> np.ndarray:
+    """(3, 2) array of [dice, hd95] for TC/WT/ET
+    (`5_compute_metrics.py:23-29` equivalent)."""
+    gt = convert_labels_brats(gt_labels)
+    pred = convert_labels_brats(pred_labels)
+    return np.stack(
+        [cal_metric(gt[c], pred[c], voxel_spacing) for c in range(3)]
+    )
+
+
+# --------------------------------------------------------------------------- #
+# on-device dice for training validation
+# --------------------------------------------------------------------------- #
+
+if _HAS_JAX:
+
+    def dice_jax(pred: "jax.Array", gt: "jax.Array", eps: float = 1e-8):
+        """Binary dice per leading batch dim, jit-friendly. Empty-both → 1,
+        one-empty → 0 (the training-validation convention at
+        `3_train.py:121-130`)."""
+        p = pred.astype(jnp.float32)
+        g = gt.astype(jnp.float32)
+        axes = tuple(range(1, p.ndim))
+        inter = jnp.sum(p * g, axis=axes)
+        ps = jnp.sum(p, axis=axes)
+        gs = jnp.sum(g, axis=axes)
+        raw = 2 * inter / (ps + gs + eps)
+        both_empty = (ps == 0) & (gs == 0)
+        return jnp.where(both_empty, 1.0, raw)
