@@ -1,0 +1,274 @@
+"""Data engine tests: preprocessing geometry, dataset, sampler, augment,
+prefetch pipeline — end-to-end on synthetic NIfTI cases."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from waveformer_tpu.data.augment import (
+    Compose,
+    GammaTransform,
+    MirrorTransform,
+    RemoveLabelTransform,
+    SpatialTransform,
+    get_train_transforms,
+)
+from waveformer_tpu.data.dataset import (
+    MedicalDataset,
+    get_kfold_loader,
+    get_train_val_test_loader_from_train,
+    unpack_dataset,
+)
+from waveformer_tpu.data.patch_sampler import PatchSampler
+from waveformer_tpu.data.pipeline import PrefetchLoader
+from waveformer_tpu.data.preprocessing import (
+    MultiModalityPreprocessor,
+    ZScoreNormalization,
+    compute_new_shape,
+    crop_to_nonzero,
+    resample_data_or_seg_to_shape,
+    sample_foreground_locations,
+)
+
+
+@pytest.fixture(scope="module")
+def raw_dataset(tmp_path_factory):
+    """4 synthetic BraTS-like cases: 2 modalities + seg as .nii.gz."""
+    from waveformer_tpu.utils import nifti
+
+    root = tmp_path_factory.mktemp("raw")
+    rng = np.random.default_rng(0)
+    img_dir = root / "images"
+    for i in range(4):
+        case = img_dir / f"case_{i:03d}"
+        os.makedirs(case)
+        shape = (40 + i, 44, 38)  # (X, Y, Z) in nifti frame
+        affine = np.diag([1.0, 1.0, 1.2, 1.0]).astype(np.float32)
+        brain = np.zeros(shape, np.float32)
+        brain[6:-6, 7:-7, 5:-5] = rng.standard_normal(
+            (shape[0] - 12, shape[1] - 14, shape[2] - 10)
+        ).astype(np.float32) + 3.0
+        for mod in ("t1.nii.gz", "t2.nii.gz"):
+            nifti.save(nifti.NiftiImage(data=brain, affine=affine), str(case / mod))
+        seg = np.zeros(shape, np.int8)
+        seg[15:25, 15:25, 12:20] = 1
+        seg[18:22, 18:22, 14:17] = 3
+        nifti.save(nifti.NiftiImage(data=seg, affine=affine), str(case / "seg.nii.gz"))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def preprocessed(raw_dataset, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fullres"))
+    pp = MultiModalityPreprocessor(
+        base_dir=raw_dataset,
+        image_dir="images",
+        data_filenames=("t1.nii.gz", "t2.nii.gz"),
+        seg_filename="seg.nii.gz",
+        foreground_classes=(1, 3),
+    )
+    done = pp.run(out, num_processes=1)
+    assert len(done) == 4
+    return out
+
+
+class TestPreprocessing:
+    def test_crop_to_nonzero_geometry(self):
+        data = np.zeros((1, 10, 12, 14), np.float32)
+        data[0, 2:8, 3:9, 4:10] = 1.0
+        seg = np.zeros((1, 10, 12, 14), np.int8)
+        d, s, bbox = crop_to_nonzero(data, seg)
+        assert bbox == [[2, 8], [3, 9], [4, 10]]
+        assert d.shape == (1, 6, 6, 6)
+        # outside-mask background got -1 (all-inside here so none)
+        assert (s != -1).all()
+
+    def test_zscore(self, rng):
+        img = rng.standard_normal((8, 8, 8)).astype(np.float32) * 5 + 3
+        out = ZScoreNormalization().run(img, np.zeros_like(img))
+        assert abs(out.mean()) < 1e-4 and abs(out.std() - 1) < 1e-3
+
+    def test_compute_new_shape(self):
+        assert compute_new_shape((100, 100, 50), (1, 1, 2), (1, 1, 1)) == (
+            100, 100, 100,
+        )
+
+    def test_seg_resample_preserves_labels(self, rng):
+        seg = np.zeros((1, 12, 12, 12), np.int8)
+        seg[0, 4:8, 4:8, 4:8] = 3
+        out = resample_data_or_seg_to_shape(
+            seg, (24, 24, 24), (2, 2, 2), (1, 1, 1), is_seg=True
+        )
+        assert set(np.unique(out)) <= {0, 3}
+        assert (out == 3).sum() > 0
+
+    def test_anisotropic_separate_z(self, rng):
+        data = rng.standard_normal((1, 8, 32, 32)).astype(np.float32)
+        out = resample_data_or_seg_to_shape(
+            data, (32, 32, 32), (4.0, 1.0, 1.0), (1.0, 1.0, 1.0)
+        )
+        assert out.shape == (1, 32, 32, 32)
+
+    def test_fg_sampling(self):
+        seg = np.zeros((1, 20, 20, 20), np.int8)
+        seg[0, :10] = 1
+        locs = sample_foreground_locations(seg, (1, 2))
+        assert len(locs[1]) > 0
+        assert len(locs[2]) == 0
+        assert (seg[tuple(locs[1].T)] == 1).all()
+
+    def test_case_artifacts_and_properties(self, preprocessed):
+        files = sorted(os.listdir(preprocessed))
+        assert "case_000.npz" in files and "case_000.pkl" in files
+        with open(os.path.join(preprocessed, "case_000.pkl"), "rb") as f:
+            props = pickle.load(f)
+        for key in (
+            "spacing",
+            "shape_before_cropping",
+            "bbox_used_for_cropping",
+            "shape_after_cropping_before_resample",
+            "shape_after_resample",
+            "class_locations",
+        ):
+            assert key in props, key
+        # resampled to 1mm: z extent grew by 1.2×
+        before = props["shape_after_cropping_before_resample"]
+        after = props["shape_after_resample"]
+        assert after[0] == round(before[0] * 1.2)
+
+    def test_plan(self, raw_dataset):
+        pp = MultiModalityPreprocessor(
+            base_dir=raw_dataset, image_dir="images",
+            data_filenames=("t1.nii.gz", "t2.nii.gz"),
+            seg_filename="seg.nii.gz",
+        )
+        plan = pp.run_plan()
+        assert plan["n_cases_fingerprinted"] == 4
+        assert 0 in plan["intensities_per_channel"]
+        assert len(plan["suggested_patch_size"]) == 3
+
+
+class TestDataset:
+    def test_unpack_and_memmap(self, preprocessed):
+        ds = MedicalDataset(preprocessed, ["case_000"], unpack=True,
+                            num_processes=1)
+        item = ds[0]
+        assert isinstance(item["data"], np.memmap)
+        assert item["data"].shape[0] == 2
+        assert item["seg"].shape[0] == 1
+
+    def test_split_persistence(self, preprocessed, tmp_path):
+        split_dir = str(tmp_path / "split")
+        tr, va, te = get_train_val_test_loader_from_train(
+            preprocessed, split_dir=split_dir, val_fraction=0.25, unpack=False
+        )
+        assert len(tr) == 3 and len(va) == 1 and len(te) == 0
+        tr2, va2, _ = get_train_val_test_loader_from_train(
+            preprocessed, split_dir=split_dir, unpack=False
+        )
+        assert tr2.case_names == tr.case_names
+
+    def test_test_list(self, preprocessed, tmp_path):
+        tl = tmp_path / "test_list.pkl"
+        with open(tl, "wb") as f:
+            pickle.dump(["case_003"], f)
+        tr, va, te = get_train_val_test_loader_from_train(
+            preprocessed, test_list_path=str(tl), val_fraction=0.34,
+            unpack=False,
+        )
+        assert te.case_names == ["case_003"]
+        assert "case_003" not in tr.case_names + va.case_names
+
+    def test_kfold(self, preprocessed):
+        tr, va = get_kfold_loader(preprocessed, fold=0, n_folds=4, unpack=False)
+        assert len(tr) == 3 and len(va) == 1
+
+
+class TestPatchSampler:
+    def test_patch_shape_and_padding(self, preprocessed):
+        ds = MedicalDataset(preprocessed, ["case_000"], unpack=False)
+        sampler = PatchSampler(ds, patch_size=(64, 64, 64), batch_size=3,
+                               seed=0)
+        batch = sampler.generate_batch()
+        assert batch["data"].shape == (3, 2, 64, 64, 64)
+        assert batch["seg"].shape == (3, 1, 64, 64, 64)
+
+    def test_fg_oversampling_hits_foreground(self, preprocessed):
+        ds = MedicalDataset(preprocessed, ["case_000"], unpack=False)
+        sampler = PatchSampler(ds, patch_size=(16, 16, 16), batch_size=3,
+                               oversample_foreground_percent=0.34, seed=0)
+        # last sample of each batch is forced-fg; over many draws it must
+        # contain foreground almost always
+        hits = 0
+        for _ in range(10):
+            b = sampler.generate_batch()
+            if (b["seg"][-1] > 0).any():
+                hits += 1
+        assert hits >= 9
+
+
+class TestAugment:
+    def _sample(self, rng):
+        return {
+            "data": rng.standard_normal((2, 24, 24, 24)).astype(np.float32),
+            "seg": (rng.integers(-1, 3, (1, 24, 24, 24))).astype(np.float32),
+        }
+
+    def test_full_stack_shapes(self, rng):
+        t = get_train_transforms()
+        out = t(self._sample(rng), np.random.RandomState(0))
+        assert out["data"].shape == (2, 24, 24, 24)
+        assert (out["seg"] != -1).all()  # RemoveLabel applied
+
+    def test_mirror_deterministic_seed(self, rng):
+        s = self._sample(rng)
+        m = MirrorTransform()
+        a = m(s, np.random.RandomState(3))["data"]
+        b = m(s, np.random.RandomState(3))["data"]
+        np.testing.assert_array_equal(a, b)
+
+    def test_spatial_preserves_labels(self, rng):
+        s = self._sample(rng)
+        s["seg"] = np.round(s["seg"])
+        out = SpatialTransform(p_rotation=1.0, p_scaling=1.0)(
+            s, np.random.RandomState(0)
+        )
+        assert set(np.unique(out["seg"])) <= {-1.0, 0.0, 1.0, 2.0}
+
+    def test_gamma_retain_stats(self, rng):
+        s = self._sample(rng)
+        out = GammaTransform(p=1.0)(s, np.random.RandomState(0))
+        np.testing.assert_allclose(
+            out["data"][0].mean(), s["data"][0].mean(), atol=1e-3
+        )
+
+
+class TestPipeline:
+    def test_inline_loader(self, preprocessed):
+        ds = MedicalDataset(preprocessed, ["case_000", "case_001"], unpack=False)
+        loader = PrefetchLoader(
+            ds, steps_per_epoch=3, patch_size=(32, 32, 32), batch_size=2,
+            transform="train", num_workers=0, seed=1,
+        )
+        batches = list(loader)
+        assert len(batches) == 3
+        assert batches[0]["data"].shape == (2, 32, 32, 32, 2)  # channels-last
+        assert batches[0]["seg"].shape == (2, 32, 32, 32, 1)
+        assert (batches[0]["seg"] >= 0).all()
+
+    def test_multiprocess_loader(self, preprocessed):
+        ds = MedicalDataset(preprocessed, ["case_000", "case_001"], unpack=False)
+        loader = PrefetchLoader(
+            ds, steps_per_epoch=4, patch_size=(32, 32, 32), batch_size=2,
+            transform="noaug", num_workers=2, cache_size=2, seed=1,
+        )
+        try:
+            batches = list(loader)
+            assert len(batches) == 4
+            for b in batches:
+                assert b["data"].shape == (2, 32, 32, 32, 2)
+                assert np.isfinite(b["data"]).all()
+        finally:
+            loader.shutdown()

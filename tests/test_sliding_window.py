@@ -88,6 +88,18 @@ class TestSlidingWindow:
         )
         np.testing.assert_allclose(np.asarray(base), np.asarray(tta), atol=1e-5)
 
+    def test_mirror_tta_asymmetric_grid_exact(self, rng):
+        """Asymmetric patch grid (count map not mirror-symmetric): the
+        per-orientation blend must still reconstruct a linear predictor
+        exactly — guards the divide-before-average TTA semantics."""
+        vol = jnp.asarray(rng.standard_normal((23, 16, 16, 1)), jnp.float32)
+        out = sliding_window_inference(
+            vol, self._identity_predictor(2), (16, 16, 16), 2,
+            overlap=0.5, sw_batch_size=2, mirror_axes=(0, 1, 2),
+        )
+        want = np.repeat(np.asarray(vol), 2, axis=-1)
+        np.testing.assert_allclose(np.asarray(out), want, atol=1e-4)
+
     @pytest.mark.skipif(not REF, reason="reference not mounted")
     def test_matches_monai_sliding_window(self, rng):
         """Same conv predictor in torch & jax; blended outputs must agree

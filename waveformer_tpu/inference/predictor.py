@@ -68,9 +68,12 @@ class Predictor:
     ) -> np.ndarray:
         """`predict_raw_probability` equivalent: trilinear resize of logits
         to `shape_after_cropping_and_before_resampling`."""
-        target = tuple(
-            int(v) for v in properties["shape_after_cropping_and_before_resampling"]
+        key = (
+            "shape_after_cropping_before_resample"
+            if "shape_after_cropping_before_resample" in properties
+            else "shape_after_cropping_and_before_resampling"
         )
+        target = tuple(int(v) for v in properties[key])
         if tuple(logits.shape[:3]) != target:
             logits = resize_trilinear(
                 logits[None], target, align_corners=False

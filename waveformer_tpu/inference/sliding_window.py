@@ -200,19 +200,44 @@ def sliding_window_inference(
         return acc
 
     if not mirror_axes:
-        total = run_one_orientation(volume)
-    else:
-        combos = _flip_axes_combinations(tuple(mirror_axes))
-        total = jnp.zeros((*spatial, out_channels), jnp.float32)
-        for axes in combos:
-            flip_dims = tuple(a for a in axes)  # spatial axes 0/1/2
-            v = jnp.flip(volume, axis=flip_dims) if flip_dims else volume
-            pred = run_one_orientation(v)
-            pred = jnp.flip(pred, axis=flip_dims) if flip_dims else pred
-            total = total + pred
-        total = total / len(combos)
+        return run_one_orientation(volume) / cm[..., None]
 
-    return total / cm[..., None]
+    # Mirror TTA. Each orientation is a full sliding-window pass on the
+    # flipped volume, blended (divided by its count map) in the flipped
+    # frame, un-flipped, then averaged — exactly the reference's
+    # `maybe_mirror_and_predict` around a complete inferer call
+    # (`light_training/prediction.py:110-160`).
+    #
+    # Compile-time design: a Python loop over the 8 orientations would inline
+    # 8 copies of the patch loop (observed ~10 min XLA compile). Instead the
+    # orientations are a `lax.scan` axis: flips become gathers with
+    # per-orientation index vectors (normal or reversed iota), so the model
+    # body is compiled ONCE.
+    combos = _flip_axes_combinations(tuple(mirror_axes))
+    idx_vectors = []
+    for axes in combos:
+        vecs = []
+        for dim, n in enumerate(spatial):
+            ar = np.arange(n, dtype=np.int32)
+            vecs.append(ar[::-1].copy() if dim in axes else ar)
+        idx_vectors.append(vecs)
+    idx_d = jnp.asarray(np.stack([v[0] for v in idx_vectors]))
+    idx_h = jnp.asarray(np.stack([v[1] for v in idx_vectors]))
+    idx_w = jnp.asarray(np.stack([v[2] for v in idx_vectors]))
+
+    def orientation_body(carry, o):
+        d, h, w = idx_d[o], idx_h[o], idx_w[o]
+        v = volume[d][:, h][:, :, w]
+        pred = run_one_orientation(v) / cm[..., None]
+        pred = pred[d][:, h][:, :, w]  # un-flip (involution)
+        return carry + pred, None
+
+    total, _ = jax.lax.scan(
+        orientation_body,
+        jnp.zeros((*spatial, out_channels), jnp.float32),
+        jnp.arange(len(combos)),
+    )
+    return total / len(combos)
 
 
 class SlidingWindowInferer:
