@@ -168,6 +168,7 @@ class Config:
     num_steps_per_epoch: int = 250  # reference `light_training/trainer.py:58`
     val_patches_per_epoch: int = 100  # reference `light_training/trainer.py:59`
     roi_size: Tuple[int, int, int] = (128, 128, 128)
+    train_process: int = 12  # data-pipeline worker processes (reference name)
     seed: int = 123
     lr: float = 1e-4
     weight_decay: float = 1e-2

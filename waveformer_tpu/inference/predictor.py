@@ -122,9 +122,15 @@ class Predictor:
         spacing: Sequence[float] = (1.0, 1.0, 1.0),
         affine: Optional[np.ndarray] = None,
     ) -> None:
-        """NIfTI export with spacing (`prediction.py:209-227` equivalent)."""
+        """NIfTI export with spacing (`prediction.py:209-227` equivalent).
+
+        `seg` is in the pipeline's (D, H, W) = (Z, Y, X) frame; NIfTI stores
+        (X, Y, Z), so the array is transposed and the spacing reversed.
+        """
         from waveformer_tpu.utils import nifti
 
         if affine is None:
-            affine = np.diag(list(spacing) + [1.0]).astype(np.float32)
-        nifti.save(nifti.NiftiImage(data=seg.astype(np.uint8), affine=affine), path)
+            affine = np.diag(list(spacing)[::-1] + [1.0]).astype(np.float32)
+        nifti.save(
+            nifti.NiftiImage(data=seg.astype(np.uint8).T, affine=affine), path
+        )

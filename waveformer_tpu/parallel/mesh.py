@@ -67,6 +67,16 @@ def make_mesh(
     return Mesh(dev_array, spec.axis_names)
 
 
+def default_mesh_for_batch(batch_size: int,
+                           devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Data-parallel mesh over the largest device count dividing the batch."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while batch_size % n != 0:
+        n -= 1
+    return make_mesh(MeshSpec(data=n), devices[:n])
+
+
 def batch_spec(mesh: Mesh) -> P:
     """PartitionSpec for (B, D, H, W, C) batches: batch over `data`,
     depth over `spatial` when that axis is >1."""

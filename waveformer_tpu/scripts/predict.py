@@ -1,0 +1,103 @@
+"""Step 4 — full-volume test-set inference (reference `4_predict.py`).
+
+Loads the best checkpoint, runs mirror-TTA sliding-window inference per test
+case, restores original geometry, writes `{case}.nii.gz` predictions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waveformer_tpu.config import load_config
+from waveformer_tpu.data.dataset import get_train_val_test_loader_from_train
+from waveformer_tpu.inference import Predictor, SlidingWindowInferer
+from waveformer_tpu.models import create_waveformer
+from waveformer_tpu.training.checkpoint import load_params_npz
+from waveformer_tpu.utils.determinism import set_determinism
+from waveformer_tpu.utils.logger import setup_logging_from_config, get_logger
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default="config.yaml")
+    ap.add_argument("--checkpoint", default=None,
+                    help="params .npz (default: best_model in logdir/model)")
+    ap.add_argument("--split", choices=("test", "val"), default="test")
+    ap.add_argument("--no-tta", action="store_true")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu for debugging)")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    cfg = load_config(args.config)
+    setup_logging_from_config(cfg.logging)
+    log = get_logger()
+    set_determinism(cfg.seed)
+
+    train_ds, val_ds, test_ds = get_train_val_test_loader_from_train(
+        cfg.data_dir,
+        test_list_path=os.path.join(cfg.data_list_path, "test_list.pkl"),
+        split_dir=os.path.join(cfg.data_list_path, cfg.split_path),
+    )
+    ds = test_ds if args.split == "test" else val_ds
+    log.info(f"predicting {len(ds)} {args.split} cases")
+
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    model = create_waveformer(cfg.network.model_kwargs(), dtype=dtype)
+
+    ckpt_path = args.checkpoint
+    if ckpt_path is None:
+        from waveformer_tpu.training.checkpoint import CheckpointManager
+
+        ckpt_path = CheckpointManager(
+            os.path.join(cfg.logdir, "model")
+        ).find_best()
+    if ckpt_path is None:
+        ap.error("no checkpoint found; pass --checkpoint")
+    log.info(f"loading {ckpt_path}")
+    params = jax.tree.map(jnp.asarray, load_params_npz(ckpt_path))
+
+    predict_fn = lambda patches: model.apply(params, patches)
+    inferer = SlidingWindowInferer(
+        roi_size=cfg.prediction.patch_size,
+        sw_batch_size=cfg.prediction.sw_batch_size,
+        overlap=cfg.prediction.overlap,
+        mirror_axes=None if args.no_tta else cfg.prediction.mirror_axes,
+    )
+    predictor = Predictor(inferer)
+    out_dir = cfg.prediction.prediction_save
+    os.makedirs(out_dir, exist_ok=True)
+
+    t_start = time.time()
+    for i in range(len(ds)):
+        item = ds[i]
+        vol = np.asarray(item["data"]).transpose(1, 2, 3, 0)  # → (D,H,W,C)
+        t0 = time.time()
+        seg = predictor.predict_case(
+            vol, predict_fn, out_channels=cfg.network.out_channels,
+            properties=item["properties"],
+        )
+        predictor.save_to_nii(
+            seg,
+            os.path.join(out_dir, item["name"] + ".nii.gz"),
+            spacing=cfg.prediction.raw_spacing,
+        )
+        log.info(f"{item['name']}: {time.time() - t0:.1f}s")
+    dt = time.time() - t_start
+    n = max(len(ds), 1)
+    log.info(
+        f"done: {len(ds)} cases in {dt:.1f}s "
+        f"({n / dt:.3f} cases/s)"
+    )
+
+
+if __name__ == "__main__":
+    main()

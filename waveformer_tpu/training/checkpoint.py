@@ -1,0 +1,177 @@
+"""Checkpointing: best/final/periodic semantics + full-state resume.
+
+Capability match for `light_training/utils/files_helper.py:6-32`
+(`save_new_model_and_delete_last`: write new best, delete the previous file
+matching the symbol) and the periodic full-state saves of `3_train.py:150-188`
+(model + optimizer + epoch + dice + scheduler), plus what the reference
+LACKS: mid-training auto-resume (`Trainer` restarts at epoch 0,
+`light_training/trainer.py:407` — here `latest_checkpoint` + `load_state`
+restore step/epoch/optimizer).
+
+Storage uses orbax-checkpoint (async-capable, multi-host-safe) with a thin
+params-only `.npz` fallback for portability.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+# --------------------------------------------------------------------------- #
+# params-only portable format
+# --------------------------------------------------------------------------- #
+
+
+def save_params_npz(params: Any, path: str, metadata: Optional[Dict] = None):
+    """Flat .npz of the param pytree (+ JSON metadata)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(
+        params["params"] if "params" in params else params
+    )
+    arrays = {"/".join(k): np.asarray(v) for k, v in flat.items()}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **arrays)
+    if metadata is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(metadata, f)
+
+
+def load_params_npz(path: str) -> Dict:
+    import flax
+
+    with np.load(path) as z:
+        flat = {tuple(k.split("/")): z[k] for k in z.files}
+    return {"params": flax.traverse_util.unflatten_dict(flat)}
+
+
+def save_new_model_and_delete_last(
+    params: Any,
+    save_path: str,
+    delete_symbol: Optional[str] = None,
+    metadata: Optional[Dict] = None,
+) -> None:
+    """Reference semantics (`files_helper.py:13-32`): remove the previous
+    checkpoint whose filename contains `delete_symbol`, then save."""
+    save_dir = os.path.dirname(save_path) or "."
+    os.makedirs(save_dir, exist_ok=True)
+    if delete_symbol is not None:
+        for f in glob.glob(os.path.join(save_dir, "*")):
+            name = os.path.basename(f)
+            if delete_symbol in name and os.path.abspath(f) != os.path.abspath(
+                save_path
+            ):
+                if os.path.isdir(f):
+                    shutil.rmtree(f)
+                elif os.path.exists(f):  # may be gone as a sibling .json
+                    os.remove(f)
+                    meta = f + ".json"
+                    if os.path.exists(meta):
+                        os.remove(meta)
+    save_params_npz(params, save_path, metadata)
+
+
+# --------------------------------------------------------------------------- #
+# full train-state checkpoints (orbax)
+# --------------------------------------------------------------------------- #
+
+
+class CheckpointManager:
+    """Best/final/periodic checkpoints with resume."""
+
+    def __init__(self, directory: str, keep_periodic: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.keep_periodic = keep_periodic
+
+    # -------- full state (resume) -------- #
+    def _ckpt_path(self, epoch: int) -> str:
+        return os.path.join(self.directory, f"state_epoch_{epoch:05d}")
+
+    def save_state(self, state, epoch: int, extra: Optional[Dict] = None):
+        """Periodic full state (params + opt + step), orbax format."""
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_path(epoch)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, {"params": state.params,
+                              "opt_state": state.opt_state,
+                              "step": state.step})
+        if extra is not None:
+            with open(path + ".json", "w") as f:
+                json.dump({"epoch": epoch, **extra}, f)
+        self._prune_periodic()
+
+    def _prune_periodic(self):
+        ckpts = sorted(glob.glob(os.path.join(self.directory, "state_epoch_*")))
+        ckpts = [c for c in ckpts if not c.endswith(".json")]
+        for old in ckpts[: -self.keep_periodic]:
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(old + ".json"):
+                os.remove(old + ".json")
+
+    def latest_checkpoint(self) -> Optional[Tuple[str, int]]:
+        ckpts = sorted(glob.glob(os.path.join(self.directory, "state_epoch_*")))
+        ckpts = [c for c in ckpts if not c.endswith(".json")]
+        if not ckpts:
+            return None
+        path = ckpts[-1]
+        epoch = int(re.search(r"state_epoch_(\d+)", path).group(1))
+        return path, epoch
+
+    def load_state(self, state_template, path: Optional[str] = None):
+        """Restore (params, opt_state, step) into the template TrainState."""
+        import orbax.checkpoint as ocp
+
+        if path is None:
+            latest = self.latest_checkpoint()
+            if latest is None:
+                raise FileNotFoundError("no checkpoint to resume from")
+            path = latest[0]
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                path,
+                {"params": state_template.params,
+                 "opt_state": state_template.opt_state,
+                 "step": state_template.step},
+            )
+        return state_template.replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+
+    # -------- best / final (params only) -------- #
+    def save_best(self, params, mean_dice: float, epoch: int, model_name: str):
+        save_new_model_and_delete_last(
+            params,
+            os.path.join(
+                self.directory, f"best_model_{mean_dice:.4f}_{model_name}.npz"
+            ),
+            delete_symbol="best_model",
+            metadata={"epoch": epoch, "mean_dice": mean_dice},
+        )
+
+    def save_final(self, params, mean_dice: float, epoch: int, model_name: str):
+        save_new_model_and_delete_last(
+            params,
+            os.path.join(
+                self.directory, f"final_model_{mean_dice:.4f}_{model_name}.npz"
+            ),
+            delete_symbol="final_model",
+            metadata={"epoch": epoch, "mean_dice": mean_dice},
+        )
+
+    def find_best(self) -> Optional[str]:
+        hits = glob.glob(os.path.join(self.directory, "best_model_*.npz"))
+        return hits[0] if hits else None

@@ -1,0 +1,300 @@
+"""Training engine — the framework's L4 layer.
+
+Capability match for `light_training/trainer.py:25-516` (`class Trainer`),
+redesigned for TPU:
+
+  * ONE controller process drives the whole `jax.sharding.Mesh` — the
+    torchrun re-exec + NCCL bootstrap (`trainer.py:78-109`,
+    `launch.py:69-117`) is replaced by `jax.distributed.initialize()` for
+    multi-host and sharding annotations for everything else.
+  * The train step (fwd/bwd/clip/AdamW) is one jitted XLA program; gradient
+    sync is compiler-inserted collectives (≡ DDP all-reduce).
+  * Epoch structure mirrors the reference: `num_steps_per_epoch` total steps
+    (250 global — the reference's `250 // num_gpus` per rank), `val_every`
+    epochs, fixed `val_patches_per_epoch` validation patches, rank-0-style
+    TB/file logging, best/final/periodic checkpoints (`3_train.py:150-188`).
+  * Improvement over the reference: auto-resume from the latest periodic
+    state (the reference always restarts at epoch 0, `trainer.py:407`).
+
+Subclasses override `training_loss` / `validation_step` / `validation_end`
+like the reference's hooks (`trainer.py:483-493`).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waveformer_tpu.data.pipeline import PrefetchLoader
+from waveformer_tpu.parallel.mesh import (
+    default_mesh_for_batch,
+    replicate,
+    shard_batch,
+)
+from waveformer_tpu.training.checkpoint import CheckpointManager
+from waveformer_tpu.training.losses import dice_ce_loss
+from waveformer_tpu.training.schedules import make_schedule
+from waveformer_tpu.training.state import (
+    TrainState,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from waveformer_tpu.utils.logger import SummaryWriter, get_logger
+
+
+class Trainer:
+    """Patch-based segmentation trainer."""
+
+    def __init__(
+        self,
+        model,
+        max_epochs: int = 1000,
+        batch_size: int = 4,
+        val_every: int = 2,
+        num_steps_per_epoch: int = 250,
+        val_patches_per_epoch: int = 100,
+        patch_size: Sequence[int] = (128, 128, 128),
+        lr: float = 1e-4,
+        weight_decay: float = 1e-2,
+        grad_clip_norm: float = 12.0,
+        scheduler: Optional[str] = None,
+        warmup_epochs: float = 0.0,
+        logdir: str = "./logs",
+        model_name: str = "waveformer",
+        mesh=None,
+        num_workers: int = 12,
+        cache_size: int = 6,
+        augmentation: str = "train",
+        seed: int = 42,
+        resume: bool = True,
+    ):
+        self.model = model
+        self.max_epochs = max_epochs
+        self.batch_size = batch_size
+        self.val_every = val_every
+        self.num_steps_per_epoch = num_steps_per_epoch
+        self.val_patches_per_epoch = val_patches_per_epoch
+        self.patch_size = tuple(patch_size)
+        self.logdir = logdir
+        self.model_name = model_name
+        self.mesh = (
+            mesh if mesh is not None else default_mesh_for_batch(batch_size)
+        )
+        self.num_workers = num_workers
+        self.cache_size = cache_size
+        self.augmentation = augmentation
+        self.seed = seed
+        self.resume = resume
+        self.log = get_logger()
+
+        total_steps = max_epochs * num_steps_per_epoch
+        warmup_steps = int(warmup_epochs * num_steps_per_epoch)
+        self.schedule = make_schedule(scheduler, lr, total_steps, warmup_steps)
+        self.tx = make_optimizer(
+            lr=self.schedule,
+            weight_decay=weight_decay,
+            grad_clip_norm=grad_clip_norm,
+        )
+
+        self.global_step = 0
+        self.epoch = 0
+        self.best_mean_dice = 0.0
+        self.writer: Optional[SummaryWriter] = None
+        self.ckpt = CheckpointManager(os.path.join(logdir, "model"))
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------ #
+    # hooks (reference `trainer.py:483-493`)
+    # ------------------------------------------------------------------ #
+    def training_loss(self, logits, batch) -> jax.Array:
+        return dice_ce_loss(logits, batch["seg"])
+
+    def convert_labels(self, labels: jax.Array) -> jax.Array:
+        """Label map (B,...,1) → (B, K, ...) binary stack for validation
+        dice. Default: BraTS TC/WT/ET (`3_train.py:104-112`)."""
+        lab = labels[..., 0]
+        tc = (lab == 1) | (lab == 3)
+        wt = tc | (lab == 2)
+        et = lab == 3
+        return jnp.stack([tc, wt, et], axis=1).astype(jnp.float32)
+
+    def validation_step(self, params, batch) -> np.ndarray:
+        """Per-class patch dice (`3_train.py:132-148`)."""
+        logits = self._eval_step(params, batch["data"])
+        pred = jnp.argmax(logits, axis=-1)[..., None]
+        pred_c = self.convert_labels(pred)
+        gt_c = self.convert_labels(batch["seg"].astype(jnp.int32))
+        axes = tuple(range(2, pred_c.ndim))
+        inter = jnp.sum(pred_c * gt_c, axis=axes)
+        ps = jnp.sum(pred_c, axis=axes)
+        gs = jnp.sum(gt_c, axis=axes)
+        both_empty = (ps == 0) & (gs == 0)
+        dice = jnp.where(both_empty, 1.0, 2 * inter / (ps + gs + 1e-8))
+        return np.asarray(jnp.mean(dice, axis=0))  # (K,)
+
+    def validation_end(self, mean_dice_per_class: np.ndarray):
+        """Best/final/periodic checkpoint logic (`3_train.py:150-188`)."""
+        names = ["tc", "wt", "et"][: len(mean_dice_per_class)]
+        mean_dice = float(np.mean(mean_dice_per_class))
+        for n, v in zip(names, mean_dice_per_class):
+            self.log_scalar(f"{n}_dice", float(v), self.epoch)
+        self.log_scalar("mean_dice", mean_dice, self.epoch)
+        params = jax.device_get(self.state.params)
+        if mean_dice > self.best_mean_dice:
+            self.best_mean_dice = mean_dice
+            self.ckpt.save_best(params, mean_dice, self.epoch, self.model_name)
+            self.log.info(
+                f"epoch {self.epoch}: new best mean dice {mean_dice:.4f}"
+            )
+        self.ckpt.save_final(params, mean_dice, self.epoch, self.model_name)
+        if (self.epoch + 1) % 100 == 0:
+            self.ckpt.save_state(
+                self.state, self.epoch, extra={"mean_dice": mean_dice}
+            )
+
+    # ------------------------------------------------------------------ #
+    def log_scalar(self, tag: str, value: float, step: int):
+        if self.writer is not None:
+            self.writer.add_scalar(tag, value, step)
+
+    def _init_state(self, example_batch) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        params = jax.jit(self.model.init)(
+            rng, jnp.zeros_like(jnp.asarray(example_batch["data"]))
+        )
+        state = TrainState.create(params, self.tx)
+        return replicate(self.mesh, state)
+
+    # ------------------------------------------------------------------ #
+    def train(self, train_ds, val_ds) -> float:
+        """Run the full loop; returns best mean dice."""
+        self.writer = SummaryWriter(self.logdir)
+        train_loader = PrefetchLoader(
+            train_ds,
+            steps_per_epoch=self.num_steps_per_epoch,
+            patch_size=self.patch_size,
+            batch_size=self.batch_size,
+            transform=self.augmentation,
+            num_workers=self.num_workers,
+            cache_size=self.cache_size,
+            seed=self.seed,
+        )
+        n_val_batches = max(1, self.val_patches_per_epoch // self.batch_size)
+        val_loader = PrefetchLoader(
+            val_ds,
+            steps_per_epoch=n_val_batches,
+            patch_size=self.patch_size,
+            batch_size=self.batch_size,
+            transform="val",
+            num_workers=0,
+            seed=self.seed + 1,
+        )
+
+        first = next(iter(
+            PrefetchLoader(
+                train_ds, steps_per_epoch=1, patch_size=self.patch_size,
+                batch_size=self.batch_size, transform="noaug",
+                num_workers=0, seed=self.seed,
+            )
+        ))
+        self.state = self._init_state(first)
+        n_params = sum(
+            int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params)
+        )
+        self.log.info(
+            f"model {self.model_name}: {n_params:,} params; "
+            f"mesh {dict(self.mesh.shape)}"
+        )
+
+        start_epoch = 0
+        if self.resume and self.ckpt.latest_checkpoint() is not None:
+            path, epoch = self.ckpt.latest_checkpoint()
+            self.state = self.ckpt.load_state(self.state, path)
+            start_epoch = epoch + 1
+            self.global_step = int(self.state.step)
+            self.log.info(f"resumed from {path} at epoch {start_epoch}")
+
+        loss_fn = lambda logits, seg: self.training_loss(
+            logits, {"seg": seg}
+        )
+        self._train_step = make_train_step(
+            self.model.apply, lambda lg, sg: loss_fn(lg, sg), mesh=self.mesh
+        )
+        self._eval_step = make_eval_step(self.model.apply, mesh=self.mesh)
+
+        try:
+            for self.epoch in range(start_epoch, self.max_epochs):
+                t0 = time.time()
+                epoch_loss = self._train_epoch(train_loader)
+                self.log_scalar("epoch_loss", epoch_loss, self.epoch)
+                self.log_scalar(
+                    "lr", float(self.schedule(self.global_step)), self.epoch
+                )
+                self.log.info(
+                    f"epoch {self.epoch}: loss {epoch_loss:.4f} "
+                    f"({time.time() - t0:.1f}s)"
+                )
+                if (self.epoch + 1) % self.val_every == 0:
+                    dices = self._validate(val_loader)
+                    self.validation_end(dices)
+        finally:
+            train_loader.shutdown()
+            if self.writer is not None:
+                self.writer.close()
+        return self.best_mean_dice
+
+    # ------------------------------------------------------------------ #
+    def _device_batch(self, batch) -> Dict[str, jax.Array]:
+        out = {
+            "data": np.asarray(batch["data"], np.float32),
+            "seg": np.asarray(batch["seg"], np.int32),
+        }
+        return shard_batch(self.mesh, out)
+
+    def _train_epoch(self, loader) -> float:
+        losses = []
+        for batch in loader:
+            b = self._device_batch(batch)
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(self.seed), self.global_step
+            )
+            self.state, metrics = self._train_step(self.state, b, rng)
+            loss = float(metrics["loss"])
+            losses.append(loss)
+            self.log_scalar("training_loss", loss, self.global_step)
+            self.global_step += 1
+        return float(np.mean(losses)) if losses else 0.0
+
+    def _validate(self, loader) -> np.ndarray:
+        per_class: List[np.ndarray] = []
+        for batch in loader:
+            b = self._device_batch(batch)
+            per_class.append(self.validation_step(self.state.params, b))
+        return np.mean(np.stack(per_class), axis=0)
+
+    # ------------------------------------------------------------------ #
+    def validation_single_gpu(
+        self, test_ds, predict_case: Callable
+    ) -> List[Any]:
+        """Sequential full-case prediction loop
+        (`trainer.py:216-269` capability)."""
+        results = []
+        for i in range(len(test_ds)):
+            item = test_ds[i]
+            results.append(predict_case(item))
+        return results
+
+    def load_params(self, path: str):
+        from waveformer_tpu.training.checkpoint import load_params_npz
+
+        params = load_params_npz(path)
+        self.state = self.state.replace(
+            params=jax.tree.map(jnp.asarray, params)
+        )
