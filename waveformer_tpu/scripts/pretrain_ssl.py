@@ -1,0 +1,99 @@
+"""SSL pretraining driver (reference `self_supervised/train.py` capability):
+contrastive + reconstruction pretraining of a 3D ViT on unlabeled volumes.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data-dir", required=True,
+                    help="preprocessed npz/pkl dataset dir")
+    ap.add_argument("--logdir", default="./logs_ssl")
+    ap.add_argument("--num-steps", type=int, default=10000)
+    ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--patch-size", type=int, nargs=3, default=[96, 96, 96])
+    ap.add_argument("--vit-patch", type=int, default=16)
+    ap.add_argument("--in-channels", type=int, default=4)
+    ap.add_argument("--hidden-size", type=int, default=768)
+    ap.add_argument("--num-layers", type=int, default=12)
+    ap.add_argument("--num-heads", type=int, default=12)
+    ap.add_argument("--lr", type=float, default=4e-4)
+    ap.add_argument("--warmup-steps", type=int, default=500)
+    ap.add_argument("--eval-every", type=int, default=100)
+    ap.add_argument("--num-workers", type=int, default=8)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from waveformer_tpu.data.dataset import MedicalDataset, _all_cases
+    from waveformer_tpu.data.pipeline import PrefetchLoader
+    from waveformer_tpu.models.ssl import SSLViT
+    from waveformer_tpu.training.ssl import SSLTrainer
+    from waveformer_tpu.utils.logger import setup_logging
+
+    setup_logging(log_file=f"{args.logdir}/pretrain.log")
+    cases = _all_cases(args.data_dir)
+    n_val = max(1, len(cases) // 10)
+    train_ds = MedicalDataset(args.data_dir, cases[n_val:])
+    val_ds = MedicalDataset(args.data_dir, cases[:n_val], unpack=False)
+
+    loader = PrefetchLoader(
+        train_ds,
+        steps_per_epoch=args.num_steps + 1,
+        patch_size=tuple(args.patch_size),
+        batch_size=args.batch_size,
+        transform="noaug",
+        num_workers=args.num_workers,
+        seed=args.seed,
+    )
+
+    def batches():
+        for b in loader:
+            yield b["data"]
+
+    val_loader = PrefetchLoader(
+        val_ds, steps_per_epoch=4, patch_size=tuple(args.patch_size),
+        batch_size=args.batch_size, transform="val", num_workers=0,
+        seed=args.seed + 1,
+    )
+    val_batches = [b["data"] for b in val_loader]
+
+    model = SSLViT(
+        img_size=tuple(args.patch_size),
+        patch_size=args.vit_patch,
+        in_channels=args.in_channels,
+        hidden_size=args.hidden_size,
+        mlp_dim=4 * args.hidden_size,
+        num_layers=args.num_layers,
+        num_heads=args.num_heads,
+        dtype=jnp.bfloat16,
+    )
+    trainer = SSLTrainer(
+        model,
+        num_steps=args.num_steps,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        warmup_steps=args.warmup_steps,
+        eval_every=args.eval_every,
+        logdir=args.logdir,
+        seed=args.seed,
+    )
+    try:
+        best = trainer.train(batches(), val_batches)
+    finally:
+        loader.shutdown()
+    print(f"pretraining done; best val recon L1 {best:.4f}")
+
+
+if __name__ == "__main__":
+    main()
