@@ -66,8 +66,6 @@ class SpatialTransform:
         return rx @ ry @ rz
 
     def __call__(self, sample: Sample, rng: np.random.RandomState) -> Sample:
-        from scipy import ndimage
-
         do_rot = rng.uniform() < self.p_rotation
         do_scale = rng.uniform() < self.p_scaling
         if not (do_rot or do_scale):
@@ -83,22 +81,33 @@ class SpatialTransform:
         offset = center - mat @ center
         out = np.empty_like(data)
         for c in range(data.shape[0]):
-            out[c] = ndimage.affine_transform(
-                data[c], mat, offset=offset, order=self.order_data,
-                mode="constant", cval=0.0,
-            )
+            out[c] = _affine(data[c], mat, offset, self.order_data, 0.0)
         sample = dict(sample)
         sample["data"] = out
         if sample.get("seg") is not None:
             seg = sample["seg"]
             seg_out = np.empty_like(seg)
             for c in range(seg.shape[0]):
-                seg_out[c] = ndimage.affine_transform(
-                    seg[c], mat, offset=offset, order=self.order_seg,
-                    mode="constant", cval=-1.0,
+                seg_out[c] = _affine(
+                    seg[c], mat, offset, min(self.order_seg, 1), -1.0
                 )
             sample["seg"] = np.round(seg_out)
         return sample
+
+
+def _affine(vol, mat, offset, order, cval):
+    """Native OpenMP affine resampling when available (orders 0/1);
+    scipy spline for higher orders."""
+    if order <= 1:
+        from waveformer_tpu import runtime
+
+        return runtime.affine_transform(vol, mat, offset, order=order,
+                                        cval=cval)
+    from scipy import ndimage
+
+    return ndimage.affine_transform(
+        vol, mat, offset=offset, order=order, mode="constant", cval=cval
+    ).astype(np.float32)
 
 
 class GaussianNoise:
@@ -125,7 +134,7 @@ class GaussianBlur:
         self.p_per_channel = p_per_channel
 
     def __call__(self, sample, rng):
-        from scipy import ndimage
+        from waveformer_tpu import runtime
 
         if rng.uniform() >= self.p:
             return sample
@@ -133,7 +142,7 @@ class GaussianBlur:
         data = sample["data"].copy()
         for c in range(data.shape[0]):
             if rng.uniform() < self.p_per_channel:
-                data[c] = ndimage.gaussian_filter(
+                data[c] = runtime.gaussian_blur(
                     data[c], rng.uniform(*self.sigma)
                 )
         sample["data"] = data
@@ -261,10 +270,15 @@ class RemoveLabelTransform:
         return sample
 
 
-def get_train_transforms() -> Compose:
-    """Full nnUNet-style stack (`train_augment.py:23-62`)."""
+def get_train_transforms(fast_spatial: bool = False) -> Compose:
+    """Full nnUNet-style stack (`train_augment.py:23-62`).
+
+    `fast_spatial=True` resamples with the native OpenMP trilinear kernel
+    (order 1) instead of scipy's order-3 spline — ~an order of magnitude
+    faster per worker with negligible augmentation-quality impact.
+    """
     return Compose([
-        SpatialTransform(),
+        SpatialTransform(order_data=1 if fast_spatial else 3),
         GaussianNoise(p=0.1),
         GaussianBlur(p=0.2, sigma=(0.5, 1.0), p_per_channel=0.5),
         BrightnessMultiplicative(p=0.15),
