@@ -1,0 +1,128 @@
+"""Auxiliary native-op equivalents: bilateral, GMM, grid pull/push."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waveformer_tpu.ops.bilateral import (
+    TrainableBilateralFilter,
+    bilateral_filter,
+    joint_bilateral_filter,
+)
+from waveformer_tpu.ops.gmm import gmm_fit, gmm_posterior, gmm_segment
+from waveformer_tpu.ops.spatial import grid_count, grid_pull, grid_push
+
+
+class TestBilateral:
+    def test_constant_image_unchanged(self):
+        x = jnp.full((1, 8, 8, 8, 1), 3.0)
+        y = bilateral_filter(x, 1.0, 0.5)
+        np.testing.assert_allclose(np.asarray(y), 3.0, atol=1e-5)
+
+    def test_edge_preserving_vs_gaussian(self, rng):
+        # step edge: bilateral smooths within regions but keeps the step
+        x = np.zeros((1, 8, 16, 8, 1), np.float32)
+        x[:, :, 8:] = 10.0
+        x += rng.standard_normal(x.shape).astype(np.float32) * 0.1
+        y = np.asarray(bilateral_filter(jnp.asarray(x), 1.5, 0.5))
+        # step magnitude preserved
+        assert (y[:, :, 9:].mean() - y[:, :, :7].mean()) > 9.0
+        # noise reduced within a region
+        assert y[:, :, :7].std() < x[:, :, :7].std()
+
+    def test_trainable_grads(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 6, 6, 6, 1)), jnp.float32)
+        f = TrainableBilateralFilter(1.0, 0.5)
+
+        def loss(params):
+            return jnp.sum(f(params, x) ** 2)
+
+        g = jax.grad(loss)(f.params)
+        assert np.isfinite(float(g["spatial_sigma"]))
+        assert abs(float(g["color_sigma"])) > 0
+
+    def test_joint_guide(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 6, 6, 6, 2)), jnp.float32)
+        g = jnp.ones((1, 6, 6, 6, 1))
+        y = joint_bilateral_filter(x, g, 1.0, 0.5)
+        assert y.shape == x.shape
+
+
+class TestGMM:
+    def test_fit_recovers_two_clusters(self, rng):
+        a = rng.standard_normal((500, 2)).astype(np.float32) * 0.3
+        b = rng.standard_normal((500, 2)).astype(np.float32) * 0.3 + 5.0
+        x = jnp.asarray(np.concatenate([a, b]))
+        params = gmm_fit(x, 2, n_iters=30)
+        means = np.sort(np.asarray(params.means)[:, 0])
+        np.testing.assert_allclose(means, [0.0, 5.0], atol=0.3)
+        post = gmm_posterior(params, x)
+        labels = np.asarray(jnp.argmax(post, axis=1))
+        # cluster purity
+        assert (labels[:500] == labels[0]).mean() > 0.95
+        assert (labels[500:] == labels[500]).mean() > 0.95
+
+    def test_segment_shapes(self, rng):
+        vol = jnp.asarray(rng.standard_normal((8, 8, 8, 2)), jnp.float32)
+        seeds = -jnp.ones((8, 8, 8), jnp.int32)
+        seeds = seeds.at[:4].set(0).at[4:].set(1)
+        out = gmm_segment(vol, seeds, n_classes=2, n_iters=5)
+        assert out.shape == (8, 8, 8)
+        assert set(np.unique(np.asarray(out))) <= {0, 1}
+
+
+class TestGridPullPush:
+    def test_pull_at_integer_coords_is_lookup(self, rng):
+        vol = jnp.asarray(rng.standard_normal((4, 5, 6, 2)), jnp.float32)
+        coords = jnp.asarray([[1.0, 2.0, 3.0], [0.0, 0.0, 0.0]])
+        out = grid_pull(vol, coords)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(vol[1, 2, 3]),
+                                   atol=1e-6)
+
+    def test_pull_midpoint_average(self):
+        vol = jnp.zeros((2, 1, 1, 1)).at[1, 0, 0, 0].set(4.0)
+        out = grid_pull(vol, jnp.asarray([[0.5, 0.0, 0.0]]))
+        np.testing.assert_allclose(float(out[0, 0]), 2.0, atol=1e-6)
+
+    def test_push_is_adjoint_of_pull(self, rng):
+        """<pull(v), u> == <v, push(u)> — the defining adjoint identity."""
+        vol = jnp.asarray(rng.standard_normal((4, 4, 4, 1)), jnp.float32)
+        coords = jnp.asarray(rng.uniform(0, 3, (10, 3)), jnp.float32)
+        u = jnp.asarray(rng.standard_normal((10, 1)), jnp.float32)
+        lhs = float(jnp.sum(grid_pull(vol, coords) * u))
+        rhs = float(jnp.sum(vol * grid_push(u, coords, (4, 4, 4))))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+    def test_custom_vjp_matches_adjoint(self, rng):
+        vol = jnp.asarray(rng.standard_normal((4, 4, 4, 1)), jnp.float32)
+        coords = jnp.asarray(rng.uniform(0.2, 2.8, (6, 3)), jnp.float32)
+
+        def loss(v):
+            return jnp.sum(grid_pull(v, coords) ** 2)
+
+        g = jax.grad(loss)(vol)
+        want = grid_push(2 * grid_pull(vol, coords), coords, (4, 4, 4))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(want), atol=1e-5)
+
+    def test_coords_grad_finite(self, rng):
+        vol = jnp.asarray(rng.standard_normal((4, 4, 4, 1)), jnp.float32)
+        coords = jnp.asarray([[1.3, 1.7, 2.1]], jnp.float32)
+        g = jax.grad(lambda c: jnp.sum(grid_pull(vol, c)))(coords)
+        assert np.isfinite(np.asarray(g)).all()
+
+    @pytest.mark.parametrize("bound", ["zero", "clamp", "reflect"])
+    def test_bound_modes(self, bound, rng):
+        vol = jnp.asarray(rng.standard_normal((4, 4, 4, 1)), jnp.float32)
+        coords = jnp.asarray([[-0.6, 1.0, 1.0], [3.6, 1.0, 1.0]], jnp.float32)
+        out = grid_pull(vol, coords, bound)
+        assert np.isfinite(np.asarray(out)).all()
+        if bound == "zero":
+            # fully outside → partial weights shrink magnitude
+            far = grid_pull(vol, jnp.asarray([[-5.0, 1.0, 1.0]]), bound)
+            np.testing.assert_allclose(np.asarray(far), 0.0, atol=1e-6)
+
+    def test_grid_count(self):
+        cm = grid_count(jnp.asarray([[1.0, 1.0, 1.0]]), (3, 3, 3))
+        np.testing.assert_allclose(float(cm[1, 1, 1]), 1.0, atol=1e-6)
+        np.testing.assert_allclose(float(cm.sum()), 1.0, atol=1e-6)
