@@ -43,3 +43,22 @@ class TestConvPallas:
         w = jnp.zeros((3, 3, 3, 3, 4))
         with pytest.raises(ValueError):
             conv3x3x3_same(x, w, block_h=4, interpret=True)
+
+
+class TestConvPallasV2:
+    @pytest.mark.parametrize("shape,cin,cout", [
+        ((8, 8, 16, 4), 4, 8),
+        ((4, 16, 8, 6), 6, 5),
+    ])
+    def test_cw_layout_matches_lax(self, rng, shape, cin, cout):
+        from waveformer_tpu.ops.conv_pallas import conv3x3x3_same_v2
+
+        d, h, w_, _ = shape
+        x = jnp.asarray(rng.standard_normal((d, h, w_, cin)), jnp.float32)
+        w = jnp.asarray(
+            rng.standard_normal((3, 3, 3, cin, cout)) * 0.2, jnp.float32
+        )
+        got = conv3x3x3_same_v2(x, w, block_h=4, interpret=True)
+        want = _ref_conv(x, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)

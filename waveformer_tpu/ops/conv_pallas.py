@@ -94,3 +94,112 @@ def conv3x3x3_batched(
     return jax.vmap(
         lambda v: conv3x3x3_same(v, w, block_h=block_h, interpret=interpret)
     )(x)
+
+
+# --------------------------------------------------------------------------- #
+# v2: channels-on-sublanes layout — the TPU-shaped formulation
+# --------------------------------------------------------------------------- #
+#
+# HBM DMA slices must be tile-aligned on the last two dims ((8, 128) tiling),
+# which forbids slicing a C=48 lane dim. v2 instead lays the volume out as
+# (D, H, C, W): C rides the 8-sublane tiling (48 = 6 tiles, zero padding
+# waste) and W rides the 128 lanes. Each grid step computes
+#     out[o, w] = Σ_{kd,kh,kw,c} Wt[o, (kd,kh,kw,c)] · x[c, w + kw − 1]
+# as ONE (O × 27C) @ (27C × bh·W) MXU matmul per block — K = 27·48 = 1296
+# with no padding waste; the only padding is M = O=48 → 128 (37.5% ceiling,
+# vs XLA's 27-small-matmul lowering measured at 12%).
+#
+# Measured on v5e (48→48 @128³ bf16): 9.6 ms vs 11.4 ms for XLA's conv.
+# The remaining gap to the ~3.5 ms matmul floor is the in-VMEM im2col
+# build (fp32 rolls + 27·bh sub-tile stores); variants tried and slower:
+# unaligned-lane-slice reads (11.2 ms), batched (bh, 27C, W) stores with a
+# batched dot_general (30+ ms). A register-level fused B-build is the
+# follow-up if the conv path stays hot.
+
+
+def _kernel_cw(x_hbm, w_ref, o_ref, xb, b_ref, sem, *, bh: int, width: int,
+               cin: int):
+    d = pl.program_id(0)
+    h = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(d, 3), pl.ds(h * bh, bh + 2)], xb, sem
+    )
+    cp.start()
+    cp.wait()
+    block = xb[:].astype(jnp.float32)  # rolls require 32-bit element type
+    # pre-shift the halo'd width per kw tap: left-shift as a non-negative
+    # circular right-roll followed by an aligned [0:width) slice
+    wp = block.shape[-1]
+    shifted = [
+        (pltpu.roll(block, (wp - kw) % wp, 3) if kw else block)[..., :width]
+        for kw in range(3)
+    ]  # each (3, bh+2, C, width) fp32
+    # scatter taps into the flat im2col matrix B (27C, bh·width): sublane
+    # offsets are multiples of C (8-aligned), lane offsets multiples of width
+    for kd in range(3):
+        for kh in range(3):
+            for kw in range(3):
+                r = ((kd * 3 + kh) * 3 + kw) * cin
+                for i in range(bh):
+                    b_ref[
+                        pl.ds(r, cin), pl.ds(i * width, width)
+                    ] = shifted[kw][kd, kh + i].astype(b_ref.dtype)
+    out = jnp.dot(
+        w_ref[:], b_ref[:], preferred_element_type=jnp.float32
+    )  # (O, bh·width)
+    for i in range(bh):  # aligned lane slices back to (bh, O, width)
+        o_ref[0, i] = out[:, i * width : (i + 1) * width].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_h", "interpret"))
+def conv3x3x3_cw(
+    x_cw: jax.Array,
+    w: jax.Array,
+    block_h: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """'SAME' conv in channels-sublane layout:
+    (D, H, C, W) × (3, 3, 3, C, O) → (D, H, O, W)."""
+    d, h, cin, width = x_cw.shape
+    o = w.shape[-1]
+    if h % block_h != 0:
+        raise ValueError(f"H={h} must be divisible by block_h={block_h}")
+    # lane dim must be a multiple of the 128-lane tiling for whole-dim DMA
+    wp = -(-(width + 2) // 128) * 128
+    xp = jnp.pad(x_cw, ((1, 1), (1, 1), (0, 0), (1, wp - width - 1)))
+    # weights as (O, 27C) with K ordered (kd, kh, kw, c)
+    wt = w.transpose(4, 0, 1, 2, 3).reshape(o, 27 * cin).astype(x_cw.dtype)
+
+    kernel = functools.partial(_kernel_cw, bh=block_h, width=width, cin=cin)
+    return pl.pallas_call(
+        kernel,
+        grid=(d, h // block_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (o, 27 * cin), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_h, o, width), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((d, h, o, width), x_cw.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((3, block_h + 2, cin, wp), x_cw.dtype),
+            pltpu.VMEM((27 * cin, block_h * width), x_cw.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, wt)
+
+
+def conv3x3x3_same_v2(
+    x: jax.Array, w: jax.Array, block_h: int = 8, interpret: bool = False
+) -> jax.Array:
+    """(D, H, W, C) wrapper around the channels-sublane kernel (transposes
+    at the boundary; chains of convs should stay in (D, H, C, W))."""
+    out_cw = conv3x3x3_cw(
+        x.transpose(0, 1, 3, 2), w, block_h=block_h, interpret=interpret
+    )
+    return out_cw.transpose(0, 1, 3, 2)
