@@ -166,3 +166,26 @@ class TestWaveformer:
         params = m.init(jax.random.PRNGKey(0), x)
         y = m.apply(params, x)
         assert y.shape == (1, 32, 32, 32, 3)
+
+    def test_deep_supervision_outputs(self, rng):
+        """Multi-scale aux heads + the deep-supervision loss wire together."""
+        import jax.numpy as jnp
+
+        from waveformer_tpu.training.losses import (
+            deep_supervision_loss,
+            dice_ce_loss,
+        )
+
+        m = Waveformer(**{**SMALL, "deep_supervision": True})
+        x = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 2)), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)
+        outs = m.apply(params, x)
+        assert [o.shape for o in outs] == [
+            (1, 32, 32, 32, 3),
+            (1, 16, 16, 16, 3),
+            (1, 8, 8, 8, 3),
+        ]
+        seg = jnp.zeros((1, 32, 32, 32, 1), jnp.int32)
+        segs = [seg, seg[:, ::2, ::2, ::2], seg[:, ::4, ::4, ::4]]
+        loss = deep_supervision_loss(dice_ce_loss, outs, segs)
+        assert np.isfinite(float(loss))

@@ -139,11 +139,18 @@ class Waveformer(nn.Module):
     norm_eps: float = 1e-6
     res_block: bool = True
     use_checkpoint: bool = False
+    deep_supervision: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_in: jax.Array, deterministic: bool = True) -> jax.Array:
-        """(B, D, H, W, C_in) → logits (B, D, H, W, out_chans)."""
+    def __call__(self, x_in: jax.Array, deterministic: bool = True):
+        """(B, D, H, W, C_in) → logits (B, D, H, W, out_chans).
+
+        With `deep_supervision=True` (training-time option; the reference
+        ships the wrapper unused, `light_training/loss/deepsupervision.py`),
+        returns a list of logits at full / half / quarter resolution —
+        pair with `training.losses.deep_supervision_loss`.
+        """
         fs = self.embed_dims
         outs, outs_hf = MultiscaleTransformer(
             img_size=self.img_size,
@@ -228,7 +235,17 @@ class Waveformer(nn.Module):
         dec1 = UnetrUpBlock(
             fs[0], res_block=self.res_block, dtype=self.dtype, name="decoder1"
         )(combined, enc0)
-        return UnetOutBlock(self.out_chans, dtype=self.dtype, name="out")(dec1)
+        logits = UnetOutBlock(self.out_chans, dtype=self.dtype, name="out")(dec1)
+        if not self.deep_supervision:
+            return logits
+        # auxiliary heads at 1/2 (the fused 64³ features) and 1/4 (dec3)
+        aux1 = UnetOutBlock(self.out_chans, dtype=self.dtype, name="ds_out1")(
+            dec2
+        )
+        aux2 = UnetOutBlock(self.out_chans, dtype=self.dtype, name="ds_out2")(
+            dec3
+        )
+        return [logits, aux1, aux2]
 
 
 def create_waveformer(
