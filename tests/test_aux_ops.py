@@ -126,3 +126,48 @@ class TestGridPullPush:
         cm = grid_count(jnp.asarray([[1.0, 1.0, 1.0]]), (3, 3, 3))
         np.testing.assert_allclose(float(cm[1, 1, 1]), 1.0, atol=1e-6)
         np.testing.assert_allclose(float(cm.sum()), 1.0, atol=1e-6)
+
+
+class TestCrissCross:
+    def test_shapes_and_rowcol_reach(self, rng):
+        import jax.numpy as jnp
+
+        from waveformer_tpu.ops.cc_attention import criss_cross_attention
+
+        q = jnp.asarray(rng.standard_normal((1, 5, 7, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 5, 7, 8)), jnp.float32)
+        v = jnp.zeros((1, 5, 7, 4), jnp.float32)
+        # put a unit signal at (2, 3): positions in row 2 or column 3 must
+        # receive nonzero output; others must stay zero
+        v = v.at[0, 2, 3, :].set(1.0)
+        out = np.asarray(criss_cross_attention(q, k, v))
+        assert np.abs(out[0, 2, :, :]).max() > 1e-6  # row reach
+        assert np.abs(out[0, :, 3, :]).max() > 1e-6  # column reach
+        mask = np.ones((5, 7), bool)
+        mask[2, :] = False
+        mask[:, 3] = False
+        assert np.abs(out[0][mask]).max() < 1e-6
+
+    def test_rows_sum_to_one_weighting(self, rng):
+        import jax.numpy as jnp
+
+        from waveformer_tpu.ops.cc_attention import criss_cross_attention
+
+        q = jnp.asarray(rng.standard_normal((1, 4, 4, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 4, 4, 8)), jnp.float32)
+        v = jnp.ones((1, 4, 4, 2), jnp.float32)
+        out = np.asarray(criss_cross_attention(q, k, v))
+        np.testing.assert_allclose(out, 1.0, atol=1e-5)  # convex combo of 1s
+
+
+class TestSplitConverter:
+    def test_txt_to_pkl(self, tmp_path):
+        import pickle
+
+        from waveformer_tpu.scripts.convert_split import txt_to_pkl
+
+        txt = tmp_path / "cases.txt"
+        txt.write_text("case_a\ncase_b\n\ncase_c\n")
+        pkl = tmp_path / "cases.pkl"
+        assert txt_to_pkl(str(txt), str(pkl)) == 3
+        assert pickle.load(open(pkl, "rb")) == ["case_a", "case_b", "case_c"]
