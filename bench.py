@@ -1,12 +1,15 @@
 """Benchmark entry point — prints ONE JSON line.
 
-Current metric (round 1): flagship WaveFormer 128³ patch inference throughput
-on one chip, bf16, device-resident (no host transfers inside the timed loop).
-Baseline anchor: the SegMamba ablation's strongest published single-GPU
-transformer-core inference rate on the same 128³ workload, 1.92 cases/s
-(BASELINE.md "large-kernel conv"; the Swin core is 1.68). One sliding-window
-case ≈ several patches, so this is a patch-level proxy until the on-device
-sliding-window engine lands (then this switches to cases/sec/chip).
+Headline metric (BASELINE.json): BraTS2023 full-case sliding-window
+inference throughput, cases/sec/chip — the reference protocol end-to-end on
+one chip: 128³ ROI, overlap 0.5, Gaussian blending, 8-way mirror TTA
+(`4_predict.py:199-211`), bf16 WaveFormer at the flagship config, on a
+typical post-crop BraTS case shape (bucketed to 192³).
+
+Baseline anchor: the strongest published single-GPU transformer-core rate on
+this workload, 1.92 cases/s (large-kernel conv core; Swin core 1.68 —
+BASELINE.md), measured WITHOUT TTA on an A100. We report the 8×-TTA number
+(the reference's actual inference protocol), so vs_baseline is conservative.
 """
 
 import json
@@ -20,43 +23,46 @@ def main():
     import jax.numpy as jnp
 
     from waveformer_tpu.config import Config
+    from waveformer_tpu.inference import Predictor, SlidingWindowInferer
     from waveformer_tpu.models import create_waveformer
 
-    batch = 1
-    n_iter = 12
     cfg = Config()
     model = create_waveformer(cfg.network.model_kwargs(), dtype=jnp.bfloat16)
-    x = jnp.asarray(
-        np.random.default_rng(0).standard_normal((batch, 128, 128, 128, 4)),
-        jnp.float32,
+    rng = np.random.default_rng(0)
+    x0 = jnp.zeros((1, 128, 128, 128, 4), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
+    predict = lambda patches: model.apply(params, patches)
+
+    inferer = SlidingWindowInferer(
+        roi_size=(128, 128, 128),
+        sw_batch_size=1,  # measured fastest per patch on v5e
+        overlap=0.5,
+        mirror_axes=(0, 1, 2),
     )
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    predictor = Predictor(inferer)
 
-    def many(p, v, n=n_iter):
-        def body(c, _):
-            y = model.apply(p, v + c * 1e-6)
-            return c + 1.0, jnp.abs(y.astype(jnp.float32)).mean()
+    # typical post-crop BraTS case shape; bucket = 192³
+    shape = (150, 180, 145, 4)
+    warm = rng.standard_normal(shape).astype(np.float32)
+    seg = predictor.predict_case(warm, predict, out_channels=4)  # compile
+    assert seg.shape == shape[:3]
 
-        _, ys = jax.lax.scan(body, 0.0, None, length=n)
-        return ys.mean()
-
-    many_j = jax.jit(many)
-    check = float(many_j(params, x))  # compile + warmup; forces full sync
-    assert np.isfinite(check), f"non-finite output {check}"
-
+    n_cases = 3
     t0 = time.time()
-    check = float(many_j(params, x))
-    dt = (time.time() - t0) / n_iter
-    patches_per_s = batch / dt
+    for i in range(n_cases):
+        vol = rng.standard_normal(shape).astype(np.float32)
+        seg = predictor.predict_case(vol, predict, out_channels=4)
+    dt = (time.time() - t0) / n_cases
+    cases_per_s = 1.0 / dt
 
-    baseline_cases_per_s = 1.92  # BASELINE.md throughput context
+    baseline = 1.92  # cases/s, BASELINE.md (no-TTA A100 anchor)
     print(
         json.dumps(
             {
-                "metric": "waveformer_128cubed_patch_inference_throughput",
-                "value": round(patches_per_s, 3),
-                "unit": "patches/sec/chip (bf16, batch=1, device-resident)",
-                "vs_baseline": round(patches_per_s / baseline_cases_per_s, 3),
+                "metric": "brats_fullcase_sliding_window_inference",
+                "value": round(cases_per_s, 4),
+                "unit": "cases/sec/chip (128^3 roi, overlap 0.5, 8x mirror TTA, bf16)",
+                "vs_baseline": round(cases_per_s / baseline, 4),
             }
         )
     )
