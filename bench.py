@@ -35,7 +35,7 @@ def main():
 
     inferer = SlidingWindowInferer(
         roi_size=(128, 128, 128),
-        sw_batch_size=1,  # measured fastest per patch on v5e
+        sw_batch_size=2,  # fastest for the sliding-window program (measured)
         overlap=0.5,
         mirror_axes=(0, 1, 2),
     )

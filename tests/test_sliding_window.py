@@ -158,3 +158,28 @@ class TestSlidingWindow:
     def test_count_map_positive(self):
         cm = count_map((24, 24, 24), (16, 16, 16), 0.5)
         assert (cm > 0).all()
+
+
+class TestPatchLevelTTA:
+    def test_patch_tta_equals_volume_tta_on_symmetric_grid(self, rng):
+        """tta_mode='patch' must be algebraically identical to the volume
+        path when the grid is mirror-symmetric."""
+        kernel = rng.standard_normal((3, 2, 3, 3, 3)).astype(np.float32) * 0.2
+
+        def jax_pred(patches):
+            k = jnp.asarray(kernel.transpose(2, 3, 4, 1, 0))
+            return jax.lax.conv_general_dilated(
+                patches, k, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+
+        vol = jnp.asarray(rng.standard_normal((24, 24, 24, 2)), jnp.float32)
+        a = sliding_window_inference(
+            vol, jax_pred, (16, 16, 16), 3, mirror_axes=(0, 1, 2),
+            tta_mode="volume",
+        )
+        b = sliding_window_inference(
+            vol, jax_pred, (16, 16, 16), 3, mirror_axes=(0, 1, 2),
+            tta_mode="patch",
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -133,6 +133,7 @@ def sliding_window_inference(
     sw_batch_size: int = 2,
     mode: str = "gaussian",
     mirror_axes: Optional[Sequence[int]] = None,
+    tta_mode: str = "volume",
 ) -> jax.Array:
     """Blend `predictor` outputs over dense patches of one volume.
 
@@ -159,7 +160,8 @@ def sliding_window_inference(
     imp = jnp.asarray(compute_importance_map(tuple(roi_size), mode))
     cm = jnp.asarray(count_map(spatial, roi_size, overlap, mode))
 
-    def run_one_orientation(vol: jax.Array) -> jax.Array:
+    def run_one_orientation(vol: jax.Array, pred_fn=None) -> jax.Array:
+        pred_fn = pred_fn or predictor
         acc = jnp.zeros((*spatial, out_channels), jnp.float32)
 
         def chunk_body(acc, chunk_idx):
@@ -176,7 +178,7 @@ def sliding_window_inference(
             patches = jnp.stack(
                 [gather(i) for i in range(sw_batch_size)], axis=0
             )
-            logits = predictor(patches).astype(jnp.float32)
+            logits = pred_fn(patches).astype(jnp.float32)
             logits = logits * imp[None, ..., None]
 
             def scatter(acc, i):
@@ -201,6 +203,55 @@ def sliding_window_inference(
 
     if not mirror_axes:
         return run_one_orientation(volume) / cm[..., None]
+
+    # Patch-level TTA (opt-in, tta_mode="patch"). When the grid is mirror-symmetric
+    # (true for every bucketed shape: starts are uniformly spaced and the
+    # Gaussian map is even), volume-level TTA is algebraically identical to
+    # averaging the 8 flipped predictions PER PATCH:
+    #   (1/8) Σ_o flip_o(SW(flip_o(v))) == SW with predictor
+    #   p ↦ mean_o flip_o(model(flip_o(p))).
+    # This trades the 8× full-volume gather/unflip traffic of the
+    # orientation loop for per-chunk 8× patch stacking. Measured on v5e the
+    # volume path is currently faster (15.6 vs 18.6 s/case at 192³), so
+    # "volume" is the default; "patch" is kept for configurations with many
+    # patches per volume where the volume traffic dominates.
+    def _grid_symmetric() -> bool:
+        for dim, (L, r) in enumerate(zip(spatial, roi_size)):
+            ax_starts = np.unique(starts_np[:n_patches, dim])
+            mirrored = np.sort(L - r - ax_starts)
+            if not np.array_equal(np.sort(ax_starts), mirrored):
+                return False
+        return True
+
+    combos_all = _flip_axes_combinations(tuple(mirror_axes))
+    if tta_mode == "patch" and _grid_symmetric():
+        # flips act on patch spatial axes 1..3 (batch axis 0). Orientations
+        # run as a lax.scan so the model body compiles once and activation
+        # memory stays at sw_batch scale (a single 8× batch OOMs HBM).
+        def tta_predictor(patches: jax.Array) -> jax.Array:
+            stacked = jnp.stack(
+                [
+                    jnp.flip(patches, axis=tuple(a + 1 for a in axes))
+                    if axes
+                    else patches
+                    for axes in combos_all
+                ],
+                axis=0,
+            )  # (n_orient, sw, *roi, C)
+
+            def body(_, p):
+                return None, predictor(p).astype(jnp.float32)
+
+            _, preds = jax.lax.scan(body, None, stacked)
+            total = jnp.zeros_like(preds[0])
+            for oi, axes in enumerate(combos_all):
+                part = preds[oi]
+                if axes:
+                    part = jnp.flip(part, axis=tuple(a + 1 for a in axes))
+                total = total + part
+            return total / len(combos_all)
+
+        return run_one_orientation(volume, tta_predictor) / cm[..., None]
 
     # Mirror TTA. Each orientation is a full sliding-window pass on the
     # flipped volume, blended (divided by its count map) in the flipped
@@ -257,12 +308,14 @@ class SlidingWindowInferer:
         overlap: float = 0.5,
         mode: str = "gaussian",
         mirror_axes: Optional[Sequence[int]] = None,
+        tta_mode: str = "volume",
     ):
         self.roi_size = tuple(roi_size)
         self.sw_batch_size = sw_batch_size
         self.overlap = overlap
         self.mode = mode
         self.mirror_axes = tuple(mirror_axes) if mirror_axes else None
+        self.tta_mode = tta_mode
         self._compiled = {}
 
     def padded_shape(self, spatial: Sequence[int]) -> Tuple[int, ...]:
@@ -294,6 +347,7 @@ class SlidingWindowInferer:
                     sw_batch_size=self.sw_batch_size,
                     mode=self.mode,
                     mirror_axes=self.mirror_axes,
+                    tta_mode=self.tta_mode,
                 )
             )
         logits = self._compiled[key](vol)
