@@ -101,13 +101,27 @@ class Predictor:
         out_channels: int,
         properties: Optional[Dict] = None,
     ) -> np.ndarray:
-        """Volume → label map at original geometry (argmax over channels)."""
+        """Volume → label map at original geometry (argmax over channels).
+
+        The logit resample AND the argmax run on device so only the uint8
+        label map crosses the (slow) host link — ~16× less D2H traffic than
+        shipping fp32 logits.
+        """
         logits = self.predict_logits(volume, predictor_fn, out_channels)
         if properties is not None:
-            probs = self.resample_logits_to_crop(logits, properties)
-        else:
-            probs = np.asarray(logits)
-        seg = np.argmax(probs, axis=-1).astype(np.uint8)
+            key = (
+                "shape_after_cropping_before_resample"
+                if "shape_after_cropping_before_resample" in properties
+                else "shape_after_cropping_and_before_resampling"
+            )
+            target = tuple(int(v) for v in properties[key])
+            if tuple(logits.shape[:3]) != target:
+                logits = resize_trilinear(
+                    logits[None], target, align_corners=False
+                )[0]
+        seg = np.asarray(
+            jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        )
         if properties is not None:
             seg = self.embed_to_original(seg, properties)
         if self.postprocess_largest_cc:

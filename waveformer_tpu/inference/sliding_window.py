@@ -278,6 +278,9 @@ def sliding_window_inference(
 
     def orientation_body(carry, o):
         d, h, w = idx_d[o], idx_h[o], idx_w[o]
+        # chained per-axis gathers: XLA recognizes reversed-iota indices and
+        # lowers each to a cheap reverse (measured faster than one fused
+        # 3D gather: 12.5 vs 14.5 s/case)
         v = volume[d][:, h][:, :, w]
         pred = run_one_orientation(v) / cm[..., None]
         pred = pred[d][:, h][:, :, w]  # un-flip (involution)
