@@ -210,3 +210,42 @@ class TestCheckpointPort:
         )
         got = np.asarray(got).transpose(0, 4, 1, 2, 3)
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+class TestHFRefinementPort:
+    def test_hf_refinement_logits_parity(self, rng):
+        """Converter + model parity for the hf_refinement=True variant
+        (per-level gated HF filtering, off by default in the reference)."""
+        _install_reference_stubs()
+        import torch
+
+        from network_models.network_backbone import Waveformer as TorchWaveformer
+        from waveformer_tpu.models import Waveformer as JaxWaveformer
+        from waveformer_tpu.utils.torch_port import convert_state_dict
+
+        torch.manual_seed(1)
+        tmodel = TorchWaveformer(
+            img_size=(32, 32, 32), patch_size=2, in_chans=2, out_chans=3,
+            depths=[1, 1, 1, 1], feat_size=[8, 16, 32, 64],
+            num_heads=[2, 4, 8, 8], drop_path_rate=0.0,
+            network_config={"transformer": {"hf_refinement": True}},
+        ).eval()
+        jmodel = JaxWaveformer(
+            img_size=(32, 32, 32), patch_size=2, in_chans=2, out_chans=3,
+            depths=(1, 1, 1, 1), embed_dims=(8, 16, 32, 64),
+            num_heads=(2, 4, 8, 8), decom_levels=(3, 2, 1, 0),
+            drop_path_rate=0.0, hf_refinement=True,
+        )
+        params = convert_state_dict(
+            tmodel.state_dict(), depths=(1, 1, 1, 1), hf_refinement=True,
+            strict=True,
+        )
+        x = rng.standard_normal((1, 2, 32, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            want = tmodel(torch.from_numpy(x)).numpy()
+        got = jmodel.apply(
+            jax.tree.map(jnp.asarray, params),
+            jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
+        )
+        got = np.asarray(got).transpose(0, 4, 1, 2, 3)
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)

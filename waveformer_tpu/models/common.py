@@ -163,6 +163,10 @@ class _Conv3dCore(nn.Module):
             and self.padding == 1
             and self.groups == 1
         )
+        # NOTE: no `preferred_element_type` here — a widened conv output has
+        # no transpose rule against narrow inputs, which breaks the backward
+        # pass under bf16 training. The MXU accumulates in fp32 internally
+        # either way; the cross-tap sum below is done in fp32 explicitly.
         if fast:
             b, d, h, w, _ = x.shape
             xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
@@ -175,8 +179,7 @@ class _Conv3dCore(nn.Module):
                     (1, 1),
                     [(1, 1), (1, 1)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.float32,
-                )
+                ).astype(jnp.float32)
                 out = part if out is None else out + part
             out = out.reshape(b, d, h, w, self.features).astype(self.dtype)
         else:
@@ -187,7 +190,6 @@ class _Conv3dCore(nn.Module):
                 [(self.padding, self.padding)] * 3,
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
                 feature_group_count=self.groups,
-                preferred_element_type=jnp.float32,
             ).astype(self.dtype)
         if bias is not None:
             out = out + bias.astype(self.dtype)
