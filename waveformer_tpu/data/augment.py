@@ -14,7 +14,7 @@ processes (see `waveformer_tpu.data.pipeline`).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Sequence, Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import multiprocessing as mp
 import queue as queue_mod
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 

@@ -14,8 +14,6 @@ import os
 import time
 from typing import Optional, Sequence
 
-import numpy as np
-
 
 class InferenceAlgorithm:
     """End-to-end single-case algorithm wrapper."""

@@ -18,7 +18,7 @@ Geometry metadata rides in the nnUNet-style `properties` dict produced by
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

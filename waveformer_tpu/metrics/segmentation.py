@@ -17,7 +17,7 @@ with numpy/scipy (host) + jax (on-device validation dice):
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -12,7 +12,7 @@ Torch-semantics notes (for checkpoint parity with the reference):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,7 @@ stage in `jax.checkpoint` (rematerialization) to trade FLOPs for HBM.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

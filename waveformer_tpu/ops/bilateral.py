@@ -15,11 +15,10 @@ from __future__ import annotations
 
 import itertools
 import math
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _shift(x: jax.Array, offset: Sequence[int]) -> jax.Array:

@@ -16,7 +16,6 @@ overlap rules out plain BlockSpec indexing).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

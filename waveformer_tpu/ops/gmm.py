@@ -7,7 +7,7 @@ steps are batched matmuls and reductions that XLA maps onto the MXU/VPU.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

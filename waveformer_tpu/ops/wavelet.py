@@ -200,12 +200,8 @@ def _dwt1d_generic(x, dec_lo, dec_hi, axis):
     kern_lo = jnp.asarray(dec_lo[::-1].copy(), dtype=x.dtype).reshape(1, 1, flen)
     kern_hi = jnp.asarray(dec_hi[::-1].copy(), dtype=x.dtype).reshape(1, 1, flen)
     dn = jax.lax.conv_dimension_numbers(flat.shape, kern_lo.shape, ("NCH", "OIH", "NCH"))
-    start = flen - 1
-    conv = lambda k: jax.lax.conv_general_dilated(
-        flat, k, window_strides=(2,), padding=[(0, 0)], dimension_numbers=dn
-    )
-    # slice so downsampling starts at `start`: take conv of xp[..., start:]
-    flat_s = flat[:, :, start:]
+    # slice so downsampling starts at filt_len - 1 (the pywt phase)
+    flat_s = flat[:, :, flen - 1 :]
     conv_s = lambda k: jax.lax.conv_general_dilated(
         flat_s, k, window_strides=(2,), padding=[(0, 0)], dimension_numbers=dn
     )

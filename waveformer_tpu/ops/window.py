@@ -9,7 +9,6 @@ XLA lowers these to layout changes with no compute.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def window_partition(x: jax.Array, window_size: int) -> jax.Array:

@@ -23,7 +23,7 @@ no torchrun-style re-exec, no rendezvous env plumbing.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np

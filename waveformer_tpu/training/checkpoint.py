@@ -21,7 +21,6 @@ import re
 import shutil
 from typing import Any, Dict, Optional, Tuple
 
-import jax
 import numpy as np
 
 

@@ -7,7 +7,6 @@ cosine / constant with warmup) and `self_supervised/scheduler.py`
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import optax

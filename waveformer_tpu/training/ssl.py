@@ -16,8 +16,7 @@ Equivalents of the reference SSL stack (`self_supervised/`):
 from __future__ import annotations
 
 import os
-import time
-from typing import Callable, Dict, Iterable, Optional, Sequence, Tuple
+from typing import Dict, Iterable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

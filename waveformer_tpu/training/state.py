@@ -10,8 +10,6 @@ all-reduce inserted by the compiler over ICI (no DDP wrapper, no NCCL calls).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
