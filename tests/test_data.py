@@ -272,3 +272,42 @@ class TestPipeline:
                 assert np.isfinite(b["data"]).all()
         finally:
             loader.shutdown()
+
+
+class TestDatasetVariants:
+    def test_global_context(self, preprocessed):
+        from waveformer_tpu.data.dataset_variants import GlobalContextDataset
+
+        base = MedicalDataset(preprocessed, ["case_000"], unpack=False)
+        ds = GlobalContextDataset(base, global_shape=(16, 16, 16))
+        item = ds[0]
+        assert item["data_global"].shape == (2, 16, 16, 16)
+        # cached on second access (same object)
+        assert ds[0]["data_global"] is item["data_global"]
+
+    def test_sdm_edge(self, preprocessed):
+        from waveformer_tpu.data.dataset_variants import (
+            SDMEdgeDataset,
+            edge_map,
+            signed_distance_map,
+        )
+
+        base = MedicalDataset(preprocessed, ["case_000"], unpack=False)
+        ds = SDMEdgeDataset(base, foreground_classes=(1, 3))
+        item = ds[0]
+        assert item["seg_sdm"].shape[0] == 2
+        assert item["seg_edge"].shape[0] == 1
+        seg = np.asarray(item["seg"][0])
+        sdm = item["seg_sdm"][0]
+        if (seg == 1).any():
+            assert sdm[seg == 1].mean() < 0  # negative inside
+            assert sdm[seg != 1].mean() > 0  # positive outside
+        # edge is a thin subset of the foreground
+        edge = item["seg_edge"][0]
+        assert edge.sum() < (seg > 0).sum()
+
+    def test_sdm_empty_mask(self):
+        from waveformer_tpu.data.dataset_variants import signed_distance_map
+
+        z = signed_distance_map(np.zeros((8, 8, 8), bool))
+        np.testing.assert_array_equal(z, 0.0)
