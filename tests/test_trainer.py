@@ -195,3 +195,23 @@ class TestSummaryWriter:
         assert "to-both" in out and "to-file-only" not in out
         content = open(log_file).read()
         assert "to-file-only" in content
+
+
+class TestLabelModes:
+    def test_multiclass_conversion(self):
+        import jax.numpy as jnp
+
+        t = Trainer(_tiny_model(), label_mode="multiclass", num_classes=4,
+                    num_workers=0)
+        lab = jnp.asarray([[[[[0], [1]], [[2], [3]]]]], jnp.int32)
+        out = np.asarray(t.convert_labels(lab))
+        assert out.shape[1] == 3  # classes 1..3
+        assert out[0, 0].sum() == 1 and out[0, 2].sum() == 1
+
+    def test_brats_conversion_default(self):
+        import jax.numpy as jnp
+
+        t = Trainer(_tiny_model(), num_workers=0)
+        lab = jnp.asarray([[[[[3]]]]], jnp.int32)
+        out = np.asarray(t.convert_labels(lab))
+        np.testing.assert_array_equal(out[0, :, 0, 0, 0], [1, 1, 1])

@@ -64,6 +64,8 @@ def main(argv=None):
         logdir=cfg.logdir,
         model_name=cfg.model_name,
         num_workers=cfg.train_process,
+        label_mode=cfg.extra.get("label_mode", "brats"),
+        num_classes=cfg.network.out_channels,
         seed=cfg.seed,
         resume=not args.no_resume,
     )

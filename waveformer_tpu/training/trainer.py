@@ -71,6 +71,8 @@ class Trainer:
         num_workers: int = 12,
         cache_size: int = 6,
         augmentation: str = "train",
+        label_mode: str = "brats",
+        num_classes: int = 4,
         seed: int = 42,
         resume: bool = True,
     ):
@@ -89,6 +91,8 @@ class Trainer:
         self.num_workers = num_workers
         self.cache_size = cache_size
         self.augmentation = augmentation
+        self.label_mode = label_mode
+        self.num_classes = num_classes
         self.seed = seed
         self.resume = resume
         self.log = get_logger()
@@ -118,12 +122,17 @@ class Trainer:
 
     def convert_labels(self, labels: jax.Array) -> jax.Array:
         """Label map (B,...,1) → (B, K, ...) binary stack for validation
-        dice. Default: BraTS TC/WT/ET (`3_train.py:104-112`)."""
+        dice. `label_mode='brats'`: TC/WT/ET regions (`3_train.py:104-112`);
+        `'multiclass'`: one binary channel per foreground class."""
         lab = labels[..., 0]
-        tc = (lab == 1) | (lab == 3)
-        wt = tc | (lab == 2)
-        et = lab == 3
-        return jnp.stack([tc, wt, et], axis=1).astype(jnp.float32)
+        if self.label_mode == "brats":
+            tc = (lab == 1) | (lab == 3)
+            wt = tc | (lab == 2)
+            et = lab == 3
+            return jnp.stack([tc, wt, et], axis=1).astype(jnp.float32)
+        return jnp.stack(
+            [lab == c for c in range(1, self.num_classes)], axis=1
+        ).astype(jnp.float32)
 
     def validation_step(self, params, batch) -> np.ndarray:
         """Per-class patch dice (`3_train.py:132-148`)."""
@@ -141,7 +150,10 @@ class Trainer:
 
     def validation_end(self, mean_dice_per_class: np.ndarray):
         """Best/final/periodic checkpoint logic (`3_train.py:150-188`)."""
-        names = ["tc", "wt", "et"][: len(mean_dice_per_class)]
+        if self.label_mode == "brats":
+            names = ["tc", "wt", "et"][: len(mean_dice_per_class)]
+        else:
+            names = [f"class{c}" for c in range(1, len(mean_dice_per_class) + 1)]
         mean_dice = float(np.mean(mean_dice_per_class))
         for n, v in zip(names, mean_dice_per_class):
             self.log_scalar(f"{n}_dice", float(v), self.epoch)
