@@ -19,7 +19,16 @@ import numpy as np
 
 
 def main():
+    import os
+
+    # persistent XLA compilation cache: the TTA program compiles in minutes
+    # the first time and loads in seconds afterwards
+    cache = os.path.expanduser("~/.cache/wftpu_xla")
+    os.makedirs(cache, exist_ok=True)
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
     from waveformer_tpu.config import Config

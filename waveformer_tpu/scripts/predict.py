@@ -23,7 +23,30 @@ from waveformer_tpu.utils.determinism import set_determinism
 from waveformer_tpu.utils.logger import setup_logging_from_config, get_logger
 
 
+
+
+def _enable_compilation_cache():
+    """Persist XLA compilations across runs (the TTA sliding-window program
+    alone compiles for minutes); opt out with WFTPU_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("WFTPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    path = os.environ.get(
+        "WFTPU_COMPILE_CACHE", os.path.expanduser("~/.cache/wftpu_xla")
+    )
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="config.yaml")
     ap.add_argument("--checkpoint", default=None,

@@ -10,7 +10,30 @@ import jax
 import jax.numpy as jnp
 
 
+
+
+def _enable_compilation_cache():
+    """Persist XLA compilations across runs (the TTA sliding-window program
+    alone compiles for minutes); opt out with WFTPU_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("WFTPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    path = os.environ.get(
+        "WFTPU_COMPILE_CACHE", os.path.expanduser("~/.cache/wftpu_xla")
+    )
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data-dir", required=True,
                     help="preprocessed npz/pkl dataset dir")
