@@ -330,7 +330,12 @@ class SlidingWindowInferer:
         predictor: Callable,
         out_channels: int,
     ) -> jax.Array:
-        """volume: (D, H, W, C); returns logits at the ORIGINAL shape."""
+        """volume: (D, H, W, C); returns logits at the ORIGINAL shape.
+
+        `predictor` must be a STABLE callable (define it once and reuse):
+        the compiled executable is cached per (padded shape, out_channels,
+        predictor identity) — a fresh lambda per call forces a recompile.
+        """
         spatial = tuple(volume.shape[:3])
         padded = self.padded_shape(spatial)
         pads = [(0, p - s) for p, s in zip(padded, spatial)] + [(0, 0)]

@@ -24,15 +24,23 @@ _lock = threading.Lock()
 
 
 def _build() -> Optional[str]:
+    """Compile to a per-pid temp path and atomically rename — multiple
+    worker processes may race to build on first use."""
     os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        "-std=c++17", _SRC, "-o", _LIB_PATH,
+        "-std=c++17", _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return _LIB_PATH
     except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return None
 
 

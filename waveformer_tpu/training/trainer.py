@@ -233,11 +233,10 @@ class Trainer:
             self.global_step = int(self.state.step)
             self.log.info(f"resumed from {path} at epoch {start_epoch}")
 
-        loss_fn = lambda logits, seg: self.training_loss(
-            logits, {"seg": seg}
-        )
         self._train_step = make_train_step(
-            self.model.apply, lambda lg, sg: loss_fn(lg, sg), mesh=self.mesh
+            self.model.apply,
+            lambda logits, seg: self.training_loss(logits, {"seg": seg}),
+            mesh=self.mesh,
         )
         self._eval_step = make_eval_step(self.model.apply, mesh=self.mesh)
 
