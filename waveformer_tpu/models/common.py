@@ -168,20 +168,28 @@ class _Conv3dCore(nn.Module):
         # pass under bf16 training. The MXU accumulates in fp32 internally
         # either way; the cross-tap sum below is done in fp32 explicitly.
         if fast:
-            b, d, h, w, _ = x.shape
-            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
-            out = None
-            for kd in range(3):
-                sl = xp[:, kd : kd + d].reshape(b * d, h, w, cin)
-                part = jax.lax.conv_general_dilated(
-                    sl,
-                    kernel[kd],
-                    (1, 1),
-                    [(1, 1), (1, 1)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                ).astype(jnp.float32)
-                out = part if out is None else out + part
-            out = out.reshape(b, d, h, w, self.features).astype(self.dtype)
+            def one_volume(vol):  # (D, H, W, C) → (D, H, W, O)
+                d = vol.shape[0]
+                vp = jnp.pad(vol, ((1, 1), (0, 0), (0, 0), (0, 0)))
+                acc = None
+                for kd in range(3):
+                    part = jax.lax.conv_general_dilated(
+                        vp[kd : kd + d],
+                        kernel[kd],
+                        (1, 1),
+                        [(1, 1), (1, 1)],
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    ).astype(jnp.float32)
+                    acc = part if acc is None else acc + part
+                return acc.astype(self.dtype)
+
+            if x.shape[0] == 1:
+                out = one_volume(x[0])[None]
+            else:
+                # lax.map keeps XLA's single-volume fusion (measured 12.2 vs
+                # 17.8 ms for two 48→48 convs @128³ vs flattening the batch
+                # into the conv batch dim)
+                out = jax.lax.map(one_volume, x)
         else:
             out = jax.lax.conv_general_dilated(
                 x,
