@@ -163,6 +163,11 @@ class _Conv3dCore(nn.Module):
             and self.padding == 1
             and self.groups == 1
         )
+        # NOTE on depthwise convs: a 27-tap shifted-multiply stencil improves
+        # the batch-1 forward (103 → 91.5 ms) but regresses the sw_batch=8
+        # sliding-window program by 35% (tap intermediates at batch 8 spill);
+        # XLA's grouped-conv lowering is kept — revisit with a Pallas
+        # stencil kernel that keeps taps in VMEM.
         # NOTE: no `preferred_element_type` here — a widened conv output has
         # no transpose rule against narrow inputs, which breaks the backward
         # pass under bf16 training. The MXU accumulates in fp32 internally
