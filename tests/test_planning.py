@@ -1,0 +1,172 @@
+"""nnUNet planning parity: pool/conv/patch derivation vs the reference.
+
+The reference module (`light_training/preprocessing/preprocessors/
+default_preprocessor.py`) cannot be imported here (SimpleITK /
+batchgenerators / acvl_utils are not installed), so the golden harness
+extracts its three module-level planning functions from source and execs
+them in an isolated namespace — the comparison still runs the reference's
+actual code.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from waveformer_tpu.data.planning import (
+    determine_fullres_target_spacing,
+    get_pool_and_conv_props,
+    initial_patch_size,
+    pad_shape,
+    plan_experiment,
+)
+
+REF_FILE = (
+    "/root/reference/light_training/preprocessing/preprocessors/"
+    "default_preprocessor.py"
+)
+
+
+@pytest.fixture(scope="module")
+def reference_planning():
+    """Exec the reference's module-level planning functions from source."""
+    if not os.path.exists(REF_FILE):
+        pytest.skip("reference repo not mounted")
+    src = open(REF_FILE).read()
+    start = src.index("def get_shape_must_be_divisible_by")
+    end = src.index("class DefaultPreprocessor")
+    from copy import deepcopy
+
+    ns = {"np": np, "deepcopy": deepcopy}
+    exec(compile(src[start:end], REF_FILE, "exec"), ns)
+    return ns
+
+
+FINGERPRINTS = {
+    # isotropic MRI (BraTS-like, already 1 mm^3)
+    "brats_isotropic": ([1.0, 1.0, 1.0], [155, 240, 240]),
+    # anisotropic CT: thick slices along z
+    "abdomen_thickslice": ([5.0, 0.8, 0.8], [45, 512, 512]),
+    # mildly anisotropic
+    "ct_mild_aniso": ([2.5, 0.7, 0.7], [120, 512, 512]),
+    # extreme in-plane resolution
+    "microscopy_like": ([1.0, 0.2, 0.2], [64, 1024, 1024]),
+}
+
+
+class TestPoolAndConvProps:
+    @pytest.mark.parametrize("name", sorted(FINGERPRINTS))
+    def test_matches_reference(self, reference_planning, name):
+        spacing, _size = FINGERPRINTS[name]
+        patch = initial_patch_size(spacing)
+        want = reference_planning["get_pool_and_conv_props"](
+            spacing, patch, 4, 999999
+        )
+        got = get_pool_and_conv_props(spacing, patch, 4, 999999)
+        assert got[0] == list(want[0]), "num_pool_per_axis"
+        assert [list(p) for p in got[1]] == [list(p) for p in want[1]]
+        assert [list(k) for k in got[2]] == [list(k) for k in want[2]]
+        np.testing.assert_array_equal(got[3], want[3])
+        np.testing.assert_array_equal(got[4], want[4])
+
+    def test_anisotropic_schedule_is_axis_aware(self):
+        """The hand-checked case the old power-of-two heuristic got wrong:
+        z pools fewer times than in-plane on thick-slice CT."""
+        spacing = [5.0, 0.8, 0.8]
+        patch = initial_patch_size(spacing)
+        num_pool, pools, convs, patch_size, div = get_pool_and_conv_props(
+            spacing, patch, 4, 999999
+        )
+        assert num_pool[0] < num_pool[1] == num_pool[2]
+        # first conv kernel must be 1 along z (spacing not yet within 2x)
+        assert convs[0][0] == 1 and convs[0][1] == convs[0][2] == 3
+        # patch respects the axis-wise divisibility, not a global cube
+        assert (patch_size % div == 0).all()
+        assert patch_size[0] < patch_size[1] == patch_size[2]
+
+
+class TestPadShape:
+    def test_rounds_up_except_exact_multiples(self):
+        np.testing.assert_array_equal(
+            pad_shape([40, 224, 224], [8, 32, 32]), [40, 224, 224]
+        )
+        np.testing.assert_array_equal(
+            pad_shape([41, 200, 230], [8, 32, 32]), [48, 224, 256]
+        )
+
+
+class TestTargetSpacing:
+    def test_isotropic_is_median(self):
+        spacings = [[1.0, 1.0, 1.0]] * 4 + [[1.2, 1.0, 1.0]]
+        sizes = [[155, 240, 240]] * 5
+        t = determine_fullres_target_spacing(spacings, sizes)
+        np.testing.assert_allclose(t, [1.0, 1.0, 1.0])
+
+    def test_anisotropy_correction_takes_10th_percentile(self):
+        """Hand-checked: coarse-z CT triggers the correction; target z
+        becomes the 10th-percentile z spacing (here 3.0 > max other
+        spacing so no flooring)."""
+        zs = [3.0, 4.0, 5.0, 5.0, 6.0, 8.0, 5.0, 5.0, 4.0, 5.0, 13.0]
+        spacings = [[z, 0.8, 0.8] for z in zs]
+        sizes = [[40, 512, 512]] * len(zs)
+        t = determine_fullres_target_spacing(spacings, sizes)
+        want_z = np.percentile(np.asarray(zs), 10)
+        np.testing.assert_allclose(t, [want_z, 0.8, 0.8])
+
+    def test_correction_floors_at_other_axes(self):
+        """If the 10th percentile dips below the finest in-plane spacing,
+        it is floored just above it (`default_preprocessor.py:331-332`)."""
+        zs = [0.5, 0.6, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0]
+        spacings = [[z, 1.0, 1.0] for z in zs]
+        sizes = [[40, 512, 512]] * len(zs)
+        t = determine_fullres_target_spacing(spacings, sizes)
+        assert t[0] == pytest.approx(1.0 + 1e-5)
+
+
+class TestPlanExperiment:
+    def test_plan_fields_and_brats_patch(self):
+        plan = plan_experiment(
+            [[1.0, 1.0, 1.0]] * 3, [[155, 240, 240]] * 3
+        )
+        # isotropic 1mm: initial patch is the 256-budget cube, then padded
+        # to the 2^num_pool divisibility
+        assert plan["initial_patch_size"] == [256, 256, 256]
+        assert plan["patch_size"] == [256, 256, 256]
+        assert plan["num_pool_per_axis"] == [6, 6, 6]
+        assert plan["conv_kernel_sizes"][0] == [3, 3, 3]
+        assert plan["pool_op_kernel_sizes"][0] == [1, 1, 1]
+        assert plan["pool_op_kernel_sizes"][1] == [2, 2, 2]
+
+    def test_plan_via_preprocessor_run_plan(self, tmp_path):
+        """run_plan surfaces the nnUNet fields (replacing the old
+        power-of-two heuristic) on synthetic anisotropic NIfTI data."""
+        from waveformer_tpu.data.preprocessing import MultiModalityPreprocessor
+        from waveformer_tpu.utils import nifti
+
+        rng = np.random.default_rng(0)
+        for case in ("c0", "c1"):
+            d = tmp_path / "raw" / case
+            d.mkdir(parents=True)
+            vol = rng.standard_normal((32, 32, 12)).astype(np.float32)
+            seg = (vol > 1.0).astype(np.int8)
+            aff = np.diag([0.8, 0.8, 5.0, 1.0]).astype(np.float32)
+            nifti.save(
+                nifti.NiftiImage(data=vol, affine=aff), str(d / "t1.nii.gz")
+            )
+            nifti.save(
+                nifti.NiftiImage(data=seg, affine=aff), str(d / "seg.nii.gz")
+            )
+        pre = MultiModalityPreprocessor(
+            base_dir=str(tmp_path), image_dir="raw",
+            data_filenames=("t1.nii.gz",), seg_filename="seg.nii.gz",
+        )
+        plan = pre.run_plan()
+        np.testing.assert_allclose(
+            plan["target_spacing"], [5.0, 0.8, 0.8], rtol=1e-6
+        )
+        assert "pool_op_kernel_sizes" in plan and "conv_kernel_sizes" in plan
+        got = plan["suggested_patch_size"]
+        want = plan_experiment(
+            [[5.0, 0.8, 0.8]] * 2, [[12, 32, 32]] * 2
+        )["patch_size"]
+        assert got == want

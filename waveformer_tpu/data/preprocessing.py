@@ -417,15 +417,20 @@ class DefaultPreprocessor:
         new_median_shape = compute_new_shape(
             median_shape, median_spacing, self.out_spacing
         )
-        patch = [min(128, 1 << int(math.floor(math.log2(max(s, 1)))))
-                 for s in new_median_shape]
+        # real nnUNet derivation (default_preprocessor.py:389-400):
+        # anisotropy-corrected target spacing → spacing-proportional
+        # initial patch → axis-wise pool/conv schedule + padded patch
+        from waveformer_tpu.data.planning import plan_experiment
+
+        plan = plan_experiment(spacings, shapes)
         return {
             "median_spacing": median_spacing,
             "median_shape": median_shape,
             "median_shape_resampled": list(new_median_shape),
             "intensities_per_channel": intensity_props,
-            "suggested_patch_size": patch,
+            "suggested_patch_size": plan["patch_size"],
             "n_cases_fingerprinted": len(cases),
+            **plan,
         }
 
 

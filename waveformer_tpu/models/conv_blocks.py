@@ -152,6 +152,57 @@ class UnetOutBlock(nn.Module):
         )(x)
 
 
+class ProjectionHead(nn.Module):
+    """Contrastive projection head (`network_models/network_backbone.py:35-63`).
+
+    `proj='convmlp'` (reference default): 1³ conv → BatchNorm+ReLU
+    (`lib/models/tools/module_helper.py:29-34`, `bn_type='torchbn'`) →
+    1³ conv, then L2-normalisation over the channel axis. `proj='linear'`
+    is a single 1³ conv (the reference uses Conv2d there — a 2D leftover
+    that cannot run on its 3D tensors; we keep the useful 3D semantics).
+
+    Off the reference train path (never instantiated by `Waveformer`), but
+    part of its exported model surface; kept for checkpoint-key
+    completeness on configs that enable contrastive projection.
+    """
+
+    dim_in: int
+    proj_dim: int = 256
+    proj: str = "convmlp"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self.proj == "linear":
+            h = Conv3d(
+                self.proj_dim, kernel_size=1, dtype=self.dtype, name="proj"
+            )(x)
+        elif self.proj == "convmlp":
+            h = Conv3d(
+                self.dim_in, kernel_size=1, dtype=self.dtype, name="proj0"
+            )(x)
+            # torch BatchNorm3d defaults: eps 1e-5, momentum 0.1
+            h = nn.BatchNorm(
+                use_running_average=deterministic,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                name="bn",
+            )(h.astype(jnp.float32))
+            h = nn.relu(h).astype(self.dtype)
+            h = Conv3d(
+                self.proj_dim, kernel_size=1, dtype=self.dtype, name="proj2"
+            )(h)
+        else:
+            raise ValueError(f"Unknown projection type: {self.proj}")
+        # F.normalize(p=2, dim=1): L2 over channels with torch's 1e-12 floor
+        h32 = h.astype(jnp.float32)
+        norm = jnp.maximum(
+            jnp.linalg.norm(h32, axis=-1, keepdims=True), 1e-12
+        )
+        return (h32 / norm).astype(self.dtype)
+
+
 class ChannelCalibration(nn.Module):
     """SE-style bottleneck recalibration (`network_backbone.py:66-128`):
     1³ reduce → IN → relu → 3³ conv → IN → relu → 1³ expand → IN →

@@ -192,6 +192,52 @@ def convert_state_dict(
     return {"params": nested}
 
 
+def convert_projection_head(
+    state_dict: Mapping[str, Any], prefix: str = ""
+) -> Dict[str, Any]:
+    """torch `ProjectionHead` (`network_backbone.py:35-63`) state dict →
+    flax variables `{"params": ..., "batch_stats": ...}`.
+
+    The torch module tree for `proj='convmlp'` is `proj.0` (Conv3d 1³),
+    `proj.1.0` (BatchNorm3d from `ModuleHelper.BNReLU`), `proj.2`
+    (Conv3d 1³); for `proj='linear'` it is a single conv at `proj`.
+    """
+    sd = _strip_module_prefix(state_dict)
+    if prefix:
+        plen = len(prefix) + 1
+        sd = {k[plen:]: v for k, v in sd.items() if k.startswith(prefix + ".")}
+    m = _Mapper(sd)
+    batch_stats: Dict[str, Any] = {}
+    if m.has("proj.weight"):  # linear variant
+        m.conv("proj", ("proj",))
+    else:
+        m.conv("proj.0", ("proj0",))
+        m.norm("proj.1.0", ("bn",))
+        m.conv("proj.2", ("proj2",))
+        batch_stats = {
+            "bn": {
+                "mean": _np(m._get("proj.1.0.running_mean")).astype(
+                    np.float32
+                ),
+                "var": _np(m._get("proj.1.0.running_var")).astype(np.float32),
+            }
+        }
+        m.used.add("proj.1.0.num_batches_tracked")
+    unused = set(m.sd) - m.used
+    if unused:
+        raise ValueError(f"unconverted torch keys: {sorted(unused)[:10]}")
+    nested: Dict[str, Any] = {}
+    for path, arr in m.out.items():
+        node = nested
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(arr, dtype=np.float32)
+    out: Dict[str, Any] = {"params": nested}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
+
+
 def load_torch_checkpoint(path: str, **kwargs) -> Dict[str, Any]:
     """Load a reference `.pth`/`.pt` checkpoint file and convert it."""
     import torch
