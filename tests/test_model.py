@@ -82,6 +82,7 @@ class TestAttention:
 
 
 class TestEncoder:
+    @pytest.mark.slow
     def test_stage_shapes_and_hf(self, rng):
         m = MultiscaleTransformer(
             img_size=(32, 32, 32),
@@ -110,6 +111,7 @@ class TestEncoder:
 
 
 class TestWaveformer:
+    @pytest.mark.slow
     def test_forward_shape(self, rng):
         m = Waveformer(**SMALL)
         x = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 2)), jnp.float32)
@@ -141,6 +143,7 @@ class TestWaveformer:
         assert m.embed_dims == (48, 96, 192, 384)
         assert m.qkv_bias is True
 
+    @pytest.mark.slow
     def test_drop_path_training_mode_stochastic(self, rng):
         m = Waveformer(**{**SMALL, "drop_path_rate": 0.5})
         x = jnp.asarray(rng.standard_normal((2, 32, 32, 32, 2)), jnp.float32)
@@ -153,6 +156,7 @@ class TestWaveformer:
         )
         assert np.abs(np.asarray(y1 - y2)).max() > 1e-5
 
+    @pytest.mark.slow
     def test_hf_refinement_variant(self, rng):
         m = Waveformer(**{**SMALL, "hf_refinement": True})
         x = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 2)), jnp.float32)

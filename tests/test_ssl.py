@@ -111,6 +111,7 @@ class TestAugmentOps:
 
 
 class TestSSLTrainer:
+    @pytest.mark.slow
     def test_short_run_loss_finite_and_checkpoints(self, tmp_path, rng):
         model = SSLViT(
             img_size=(16, 16, 16), patch_size=8, in_channels=1,

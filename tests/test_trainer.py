@@ -60,6 +60,7 @@ def _tiny_model():
 
 
 class TestTrainerLoop:
+    @pytest.mark.slow
     def test_two_epochs_with_validation(self, tiny_dataset, tmp_path):
         from waveformer_tpu.data.dataset import MedicalDataset
 
@@ -88,6 +89,7 @@ class TestTrainerLoop:
             tags = {json.loads(l)["tag"] for l in f}
         assert {"training_loss", "epoch_loss", "mean_dice", "lr"} <= tags
 
+    @pytest.mark.slow
     def test_resume_from_periodic(self, tiny_dataset, tmp_path):
         from waveformer_tpu.data.dataset import MedicalDataset
 

@@ -136,6 +136,7 @@ class TestSchedules:
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_loss_decreases_tiny_model(self, rng):
         from waveformer_tpu.models import Waveformer
 
@@ -165,6 +166,7 @@ class TestTrainStep:
         assert losses[-1] < losses[0], losses
         assert np.isfinite(losses).all()
 
+    @pytest.mark.slow
     def test_multi_device_step_matches_single(self, rng):
         """DP-sharded step must produce the same updated params as an
         unsharded step on the full batch (the DDP-equivalence guarantee)."""
