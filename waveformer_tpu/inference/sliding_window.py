@@ -261,29 +261,34 @@ def sliding_window_inference(
     #
     # Compile-time design: a Python loop over the 8 orientations would inline
     # 8 copies of the patch loop (observed ~10 min XLA compile). Instead the
-    # orientations are a `lax.scan` axis: flips become gathers with
-    # per-orientation index vectors (normal or reversed iota), so the model
-    # body is compiled ONCE.
+    # orientations are a `lax.scan` axis, so the model body is compiled ONCE.
+    # Flips inside the scan are per-axis `lax.cond`s whose branches are
+    # static `lax.rev`s — a runtime-selected branch of two memory-speed ops.
+    # (The previous formulation — gathers with per-orientation index
+    # vectors — defeated XLA's reversed-iota recognition because the index
+    # vector was only known at runtime, costing 3-4 s/case in real gathers.)
     combos = _flip_axes_combinations(tuple(mirror_axes))
-    idx_vectors = []
-    for axes in combos:
-        vecs = []
-        for dim, n in enumerate(spatial):
-            ar = np.arange(n, dtype=np.int32)
-            vecs.append(ar[::-1].copy() if dim in axes else ar)
-        idx_vectors.append(vecs)
-    idx_d = jnp.asarray(np.stack([v[0] for v in idx_vectors]))
-    idx_h = jnp.asarray(np.stack([v[1] for v in idx_vectors]))
-    idx_w = jnp.asarray(np.stack([v[2] for v in idx_vectors]))
+    flip_bits = np.zeros((len(combos), 3), np.bool_)
+    for i, axes in enumerate(combos):
+        for a in axes:
+            flip_bits[i, a] = True
+    flip_bits = jnp.asarray(flip_bits)
+
+    def maybe_flip(v: jax.Array, bits: jax.Array) -> jax.Array:
+        for ax in range(3):
+            v = jax.lax.cond(
+                bits[ax],
+                functools.partial(jnp.flip, axis=ax),
+                lambda t: t,
+                v,
+            )
+        return v
 
     def orientation_body(carry, o):
-        d, h, w = idx_d[o], idx_h[o], idx_w[o]
-        # chained per-axis gathers: XLA recognizes reversed-iota indices and
-        # lowers each to a cheap reverse (measured faster than one fused
-        # 3D gather: 12.5 vs 14.5 s/case)
-        v = volume[d][:, h][:, :, w]
+        bits = flip_bits[o]
+        v = maybe_flip(volume, bits)
         pred = run_one_orientation(v) / cm[..., None]
-        pred = pred[d][:, h][:, :, w]  # un-flip (involution)
+        pred = maybe_flip(pred, bits)  # un-flip (involution)
         return carry + pred, None
 
     total, _ = jax.lax.scan(

@@ -35,8 +35,28 @@ def _enable_compilation_cache():
 def main(argv=None):
     _enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--data-dir", required=True,
+    ap.add_argument("--data-dir", default=None,
                     help="preprocessed npz/pkl dataset dir")
+    ap.add_argument(
+        "--datalist-json", action="append", default=[],
+        help="decathlon dataset JSON(s) of raw whole volumes (the reference "
+             "SSL CT flow, self_supervised/data_utils.py:30-139); "
+             "repeatable, combined into one training list",
+    )
+    ap.add_argument(
+        "--datalist-base-dir", action="append", default=[],
+        help="base dir per --datalist-json (defaults to the JSON's dir)",
+    )
+    ap.add_argument("--a-min", type=float, default=-1000.0)
+    ap.add_argument("--a-max", type=float, default=1000.0)
+    ap.add_argument("--b-min", type=float, default=0.0)
+    ap.add_argument("--b-max", type=float, default=1.0)
+    ap.add_argument("--cache-rate", type=float, default=0.0,
+                    help="CacheDataset-style eager cache fraction")
+    ap.add_argument("--smartcache-num", type=int, default=0,
+                    help="SmartCacheDataset-style rotating cache size")
+    ap.add_argument("--sw-batch-size", type=int, default=2,
+                    help="random crops per loaded volume (datalist mode)")
     ap.add_argument("--logdir", default="./logs_ssl")
     ap.add_argument("--num-steps", type=int, default=10000)
     ap.add_argument("--batch-size", type=int, default=2)
@@ -57,38 +77,97 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    from waveformer_tpu.data.dataset import MedicalDataset, _all_cases
-    from waveformer_tpu.data.pipeline import PrefetchLoader
     from waveformer_tpu.models.ssl import SSLViT
     from waveformer_tpu.training.ssl import SSLTrainer
     from waveformer_tpu.utils.logger import setup_logging
 
     setup_logging(log_file=f"{args.logdir}/pretrain.log")
-    cases = _all_cases(args.data_dir)
-    n_val = max(1, len(cases) // 10)
-    train_ds = MedicalDataset(args.data_dir, cases[n_val:])
-    val_ds = MedicalDataset(args.data_dir, cases[:n_val], unpack=False)
+    if bool(args.data_dir) == bool(args.datalist_json):
+        ap.error("give exactly one of --data-dir or --datalist-json")
 
-    loader = PrefetchLoader(
-        train_ds,
-        steps_per_epoch=args.num_steps + 1,
-        patch_size=tuple(args.patch_size),
-        batch_size=args.batch_size,
-        transform="noaug",
-        num_workers=args.num_workers,
-        seed=args.seed,
-    )
+    loader = None
+    if args.datalist_json:
+        # reference SSL CT flow: decathlon datalists of raw whole volumes,
+        # cached dataset, random ROI crops (`data_utils.py:30-139`)
+        from waveformer_tpu.data.ssl_data import (
+            SSLCropLoader,
+            SSLVolumeDataset,
+            load_decathlon_datalist,
+        )
 
-    def batches():
-        for b in loader:
-            yield b["data"]
+        train_list, val_list = [], []
+        for i, js in enumerate(args.datalist_json):
+            base = (
+                args.datalist_base_dir[i]
+                if i < len(args.datalist_base_dir)
+                else None
+            )
+            train_list += load_decathlon_datalist(
+                js, False, "training", base_dir=base
+            )
+            try:
+                val_list += load_decathlon_datalist(
+                    js, False, "validation", base_dir=base
+                )
+            except ValueError:
+                pass
+        if not val_list:
+            n_val = max(1, len(train_list) // 10)
+            val_list, train_list = train_list[:n_val], train_list[n_val:]
+        common = dict(
+            roi=tuple(args.patch_size), a_min=args.a_min, a_max=args.a_max,
+            b_min=args.b_min, b_max=args.b_max,
+        )
+        train_ds = SSLVolumeDataset(
+            train_list, cache_rate=args.cache_rate,
+            smart_cache_num=args.smartcache_num, **common,
+        )
+        val_ds = SSLVolumeDataset(val_list, **common)
+        args.in_channels = 1
 
-    val_loader = PrefetchLoader(
-        val_ds, steps_per_epoch=4, patch_size=tuple(args.patch_size),
-        batch_size=args.batch_size, transform="val", num_workers=0,
-        seed=args.seed + 1,
-    )
-    val_batches = [b["data"] for b in val_loader]
+        def batches():
+            yield from SSLCropLoader(
+                train_ds, batch_size=args.batch_size,
+                num_samples=args.sw_batch_size,
+                num_steps=args.num_steps + 1, seed=args.seed,
+            )
+
+        val_batches = list(
+            SSLCropLoader(
+                val_ds, batch_size=args.batch_size,
+                num_samples=args.sw_batch_size, num_steps=4,
+                seed=args.seed + 1, prefetch=False,
+            )
+        )
+    else:
+        from waveformer_tpu.data.dataset import MedicalDataset, _all_cases
+        from waveformer_tpu.data.pipeline import PrefetchLoader
+
+        cases = _all_cases(args.data_dir)
+        n_val = max(1, len(cases) // 10)
+        train_ds = MedicalDataset(args.data_dir, cases[n_val:])
+        val_ds = MedicalDataset(args.data_dir, cases[:n_val], unpack=False)
+
+        loader = PrefetchLoader(
+            train_ds,
+            steps_per_epoch=args.num_steps + 1,
+            patch_size=tuple(args.patch_size),
+            batch_size=args.batch_size,
+            transform="noaug",
+            num_workers=args.num_workers,
+            seed=args.seed,
+        )
+
+        def batches():
+            for b in loader:
+                yield b["data"]
+
+        val_loader = PrefetchLoader(
+            val_ds, steps_per_epoch=4, patch_size=tuple(args.patch_size),
+            batch_size=args.batch_size, transform="val", num_workers=0,
+            seed=args.seed + 1,
+        )
+        val_batches = [b["data"] for b in val_loader]
 
     model = SSLViT(
         img_size=tuple(args.patch_size),
@@ -113,7 +192,8 @@ def main(argv=None):
     try:
         best = trainer.train(batches(), val_batches)
     finally:
-        loader.shutdown()
+        if loader is not None:
+            loader.shutdown()
     print(f"pretraining done; best val recon L1 {best:.4f}")
 
 
