@@ -311,3 +311,134 @@ class TestDatasetVariants:
 
         z = signed_distance_map(np.zeros((8, 8, 8), bool))
         np.testing.assert_array_equal(z, 0.0)
+
+
+class TestCTPreprocessors:
+    """Flat-file (liver2017) and per-organ-mask (AbdomenAtlas) CT dataset
+    drivers, end-to-end: discovery → fingerprint → CT-normalized artifacts.
+    Reference: `default_preprocessor_liver_2017.py:231-259`,
+    `default_preprocessor_AbdomenAtlas1_0Mini.py:235-272`."""
+
+    @pytest.fixture(scope="class")
+    def liver_raw(self, tmp_path_factory):
+        from waveformer_tpu.utils import nifti
+
+        root = tmp_path_factory.mktemp("liver_raw")
+        rng = np.random.default_rng(1)
+        affine = np.diag([0.8, 0.8, 2.5, 1.0]).astype(np.float32)
+        for i in range(3):
+            shape = (30, 32, 20)
+            vol = rng.normal(40.0, 120.0, shape).astype(np.float32)
+            seg = np.zeros(shape, np.int8)
+            seg[8:20, 8:20, 6:14] = 1  # liver
+            seg[12:16, 12:16, 8:11] = 2  # tumor
+            vol[seg > 0] += 60.0
+            nifti.save(nifti.NiftiImage(data=vol, affine=affine),
+                       str(root / f"volume-{i}.nii.gz"))
+            nifti.save(nifti.NiftiImage(data=seg, affine=affine),
+                       str(root / f"segmentation-{i}.nii.gz"))
+        return str(root)
+
+    @pytest.fixture(scope="class")
+    def atlas_raw(self, tmp_path_factory):
+        from waveformer_tpu.utils import nifti
+
+        root = tmp_path_factory.mktemp("atlas_raw")
+        rng = np.random.default_rng(2)
+        affine = np.diag([1.0, 1.0, 3.0, 1.0]).astype(np.float32)
+        for name in ("BDMAP_00000001", "BDMAP_00000002"):
+            case = root / name
+            segs = case / "segmentations"
+            os.makedirs(segs)
+            shape = (28, 28, 16)
+            vol = rng.normal(30.0, 100.0, shape).astype(np.float32)
+            nifti.save(nifti.NiftiImage(data=vol, affine=affine),
+                       str(case / "ct.nii.gz"))
+            liver = np.zeros(shape, np.uint8)
+            liver[4:14, 4:14, 4:10] = 1
+            spleen = np.zeros(shape, np.uint8)
+            spleen[10:20, 10:20, 6:12] = 1  # overlaps liver: spleen wins
+            nifti.save(nifti.NiftiImage(data=liver, affine=affine),
+                       str(segs / "liver.nii.gz"))
+            nifti.save(nifti.NiftiImage(data=spleen, affine=affine),
+                       str(segs / "spleen.nii.gz"))
+        return str(root)
+
+    def test_flat_file_discovery_and_read(self, liver_raw):
+        from waveformer_tpu.data.preprocessing import CTPreprocessor
+
+        pp = CTPreprocessor(base_dir=liver_raw, foreground_classes=(1, 2))
+        assert pp.get_iterable_list() == ["0", "1", "2"]
+        data, seg, props = pp.read_data("0")
+        assert data.shape == (1, 20, 32, 30)  # (C, Z, Y, X) transposed
+        assert seg.shape == (1, 20, 32, 30)
+        assert props["spacing"] == pytest.approx([2.5, 0.8, 0.8])
+        assert set(np.unique(seg)) == {0, 1, 2}
+
+    def test_flat_file_ct_run(self, liver_raw, tmp_path):
+        from waveformer_tpu.data.preprocessing import CTPreprocessor
+
+        pp = CTPreprocessor(base_dir=liver_raw, foreground_classes=(1, 2),
+                            out_spacing=(2.5, 0.8, 0.8))
+        plan = pp.run_plan()
+        assert plan["n_cases_fingerprinted"] == 3
+        props = plan["intensities_per_channel"][0]
+        out = str(tmp_path / "fullres")
+        done = pp.run(out, num_processes=1, intensity_props={0: props})
+        assert len(done) == 3
+        img = np.load(os.path.join(out, "0.npz"))["data"]
+        # CT normalization: clipped to fingerprint percentiles then z-scored
+        lo = (props["percentile_00_5"] - props["mean"]) / props["std"]
+        hi = (props["percentile_99_5"] - props["mean"]) / props["std"]
+        assert img.min() >= lo - 1e-4 and img.max() <= hi + 1e-4
+
+    def test_organ_mask_combination(self, atlas_raw):
+        from waveformer_tpu.data.preprocessing import OrganMaskPreprocessor
+
+        pp = OrganMaskPreprocessor(
+            base_dir=atlas_raw,
+            seg_list=("liver.nii.gz", "spleen.nii.gz"),
+        )
+        assert pp.get_iterable_list() == ["BDMAP_00000001", "BDMAP_00000002"]
+        assert pp.foreground_classes == (1, 2)
+        data, seg, props = pp.read_data("BDMAP_00000001")
+        assert data.shape == (1, 16, 28, 28)
+        assert set(np.unique(seg)) == {0, 1, 2}
+        # overlap voxels: later mask overwrites (`segs[seg_arr == 1] = index`)
+        assert seg[0, 7, 12, 12] == 2
+
+    def test_organ_mask_run(self, atlas_raw, tmp_path):
+        from waveformer_tpu.data.preprocessing import OrganMaskPreprocessor
+
+        pp = OrganMaskPreprocessor(
+            base_dir=atlas_raw,
+            seg_list=("liver.nii.gz", "spleen.nii.gz"),
+            out_spacing=(3.0, 1.0, 1.0),
+        )
+        plan = pp.run_plan()
+        props = plan["intensities_per_channel"][0]
+        out = str(tmp_path / "fullres")
+        done = pp.run(out, num_processes=1, intensity_props={0: props})
+        assert len(done) == 2
+        seg = np.load(os.path.join(out, "BDMAP_00000001.npz"))["seg"]
+        labels = set(np.unique(seg).astype(int))
+        assert {1, 2} <= labels
+
+    def test_preprocess_cli_ct(self, liver_raw, tmp_path):
+        from waveformer_tpu.scripts.preprocess import main
+
+        out = str(tmp_path / "out")
+        main(["--raw-dir", liver_raw, "--out-dir", out,
+              "--dataset-type", "ct", "--num-processes", "1",
+              "--foreground-classes", "1", "2"])
+        assert os.path.exists(os.path.join(out, "plan.json"))
+        assert os.path.exists(os.path.join(out, "0.npz"))
+
+    def test_preprocess_cli_ct_organs(self, atlas_raw, tmp_path):
+        from waveformer_tpu.scripts.preprocess import main
+
+        out = str(tmp_path / "out")
+        main(["--raw-dir", atlas_raw, "--out-dir", out,
+              "--dataset-type", "ct-organs", "--num-processes", "1",
+              "--organ-list", "liver.nii.gz", "spleen.nii.gz"])
+        assert os.path.exists(os.path.join(out, "BDMAP_00000001.npz"))

@@ -5,3 +5,9 @@ from waveformer_tpu.data.dataset import (  # noqa: F401
 )
 from waveformer_tpu.data.patch_sampler import PatchSampler  # noqa: F401
 from waveformer_tpu.data.pipeline import PrefetchLoader  # noqa: F401
+from waveformer_tpu.data.preprocessing import (  # noqa: F401
+    CTPreprocessor,
+    DefaultPreprocessor,
+    MultiModalityPreprocessor,
+    OrganMaskPreprocessor,
+)

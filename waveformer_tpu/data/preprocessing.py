@@ -470,3 +470,99 @@ class MultiModalityPreprocessor(DefaultPreprocessor):
         properties = {"spacing": list(spacing), "raw_size": list(data.shape[1:]),
                       "name": case_name}
         return data, seg, properties
+
+
+@dataclass
+class CTPreprocessor(DefaultPreprocessor):
+    """Flat-file CT dataset preprocessing (liver2017 capability,
+    `default_preprocessor_liver_2017.py:231-259`): cases are
+    `{volume_prefix}{case}{ext}` / `{seg_prefix}{case}{ext}` pairs in one
+    directory, single channel, CT percentile-clip normalization from the
+    dataset fingerprint."""
+
+    volume_prefix: str = "volume-"
+    seg_prefix: str = "segmentation-"
+    ext: str = ".nii.gz"
+    normalization: str = "ct"
+    foreground_classes: Tuple[int, ...] = (1, 2)
+
+    def get_iterable_list(self) -> List[str]:
+        names = []
+        for f in sorted(os.listdir(self.base_dir)):
+            if f.startswith(self.volume_prefix) and f.endswith(self.ext):
+                names.append(f[len(self.volume_prefix) : -len(self.ext)])
+        return names
+
+    def read_data(self, case_name: str):
+        from waveformer_tpu.utils import nifti
+
+        img = nifti.load(
+            os.path.join(self.base_dir, f"{self.volume_prefix}{case_name}{self.ext}")
+        )
+        data = np.ascontiguousarray(img.data.T).astype(np.float32)[None]
+        seg = None
+        seg_path = os.path.join(
+            self.base_dir, f"{self.seg_prefix}{case_name}{self.ext}"
+        )
+        if os.path.exists(seg_path):
+            seg = np.ascontiguousarray(nifti.load(seg_path).data.T).astype(
+                np.int8
+            )[None]
+        properties = {
+            "spacing": list(img.spacing[::-1]),
+            "raw_size": list(data.shape[1:]),
+            "name": case_name,
+        }
+        return data, seg, properties
+
+
+@dataclass
+class OrganMaskPreprocessor(DefaultPreprocessor):
+    """Per-organ binary-mask CT dataset preprocessing (AbdomenAtlas
+    capability, `default_preprocessor_AbdomenAtlas1_0Mini.py:235-272`):
+    each case directory holds one CT volume plus a segmentation directory
+    of per-organ binary masks, combined into one multi-class label map
+    (organ i → label i+1, later masks overwrite earlier ones, exactly the
+    reference's `segs[seg_arr == 1] = index` semantics)."""
+
+    image_name: str = "ct.nii.gz"
+    seg_dir: str = "segmentations"
+    seg_list: Tuple[str, ...] = ()
+    normalization: str = "ct"
+    foreground_classes: Tuple[int, ...] = ()
+
+    def __post_init__(self):
+        if self.seg_list and not self.foreground_classes:
+            self.foreground_classes = tuple(range(1, len(self.seg_list) + 1))
+
+    def get_iterable_list(self) -> List[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.base_dir)
+            if os.path.isdir(os.path.join(self.base_dir, d))
+        )
+
+    def read_data(self, case_name: str):
+        from waveformer_tpu.utils import nifti
+
+        case_dir = os.path.join(self.base_dir, case_name)
+        img = nifti.load(os.path.join(case_dir, self.image_name))
+        data = np.ascontiguousarray(img.data.T).astype(np.float32)[None]
+        seg = None
+        seg_root = os.path.join(case_dir, self.seg_dir)
+        if os.path.isdir(seg_root) and self.seg_list:
+            combined = None
+            for index, target in enumerate(self.seg_list, start=1):
+                m = np.ascontiguousarray(
+                    nifti.load(os.path.join(seg_root, target)).data.T
+                )
+                if combined is None:
+                    combined = np.zeros(m.shape, np.int8)
+                combined[m == 1] = index
+            seg = combined[None]
+        properties = {
+            "spacing": list(img.spacing[::-1]),
+            "raw_size": list(data.shape[1:]),
+            "name": case_name,
+        }
+        return data, seg, properties

@@ -6,5 +6,6 @@ from waveformer_tpu.metrics.segmentation import (  # noqa: F401
     dice,
     dice_jax,
     hausdorff_distance_95,
+    multiclass_case_metrics,
     surface_distances,
 )

@@ -178,6 +178,23 @@ def brats_case_metrics(
     )
 
 
+def multiclass_case_metrics(
+    gt_labels: np.ndarray,
+    pred_labels: np.ndarray,
+    num_classes: int,
+    voxel_spacing: Sequence[float] = (1.0, 1.0, 1.0),
+) -> np.ndarray:
+    """(num_classes-1, 2) array of [dice, hd95] for labels 1..C-1 — the
+    generic (non-BraTS) evaluation the reference's per-dataset trainers
+    compute class-by-class (e.g. AbdomenAtlas organs, liver/tumor)."""
+    rows = []
+    for c in range(1, num_classes):
+        rows.append(
+            cal_metric(gt_labels == c, pred_labels == c, voxel_spacing)
+        )
+    return np.stack(rows)
+
+
 # --------------------------------------------------------------------------- #
 # on-device dice for training validation
 # --------------------------------------------------------------------------- #

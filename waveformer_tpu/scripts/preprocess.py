@@ -10,9 +10,41 @@ import json
 import os
 
 from waveformer_tpu.config import load_config
-from waveformer_tpu.data.preprocessing import MultiModalityPreprocessor
+from waveformer_tpu.data.preprocessing import (
+    CTPreprocessor,
+    MultiModalityPreprocessor,
+    OrganMaskPreprocessor,
+)
 
 BRATS_MODALITIES = ("t2w.nii.gz", "t2f.nii.gz", "t1n.nii.gz", "t1c.nii.gz")
+
+
+def build_preprocessor(args, raw_dir):
+    """Select the dataset driver (reference's per-dataset preprocessor files,
+    `light_training/preprocessing/preprocessors/`)."""
+    if args.dataset_type == "mri":
+        return MultiModalityPreprocessor(
+            base_dir=os.path.dirname(raw_dir.rstrip("/")) or ".",
+            image_dir=os.path.basename(raw_dir.rstrip("/")),
+            data_filenames=tuple(args.modalities),
+            seg_filename=args.seg_filename,
+        )
+    if args.dataset_type == "ct":
+        return CTPreprocessor(
+            base_dir=raw_dir,
+            volume_prefix=args.volume_prefix,
+            seg_prefix=args.seg_prefix,
+            foreground_classes=tuple(args.foreground_classes),
+        )
+    if args.dataset_type == "ct-organs":
+        if not args.organ_list:
+            raise SystemExit("--organ-list required for ct-organs")
+        return OrganMaskPreprocessor(
+            base_dir=raw_dir,
+            image_name=args.image_name,
+            seg_list=tuple(args.organ_list),
+        )
+    raise SystemExit(f"unknown dataset type {args.dataset_type!r}")
 
 
 def main(argv=None):
@@ -22,9 +54,22 @@ def main(argv=None):
     ap.add_argument("--out-dir", default=None, help="override data_dir")
     ap.add_argument("--num-processes", type=int, default=8)
     ap.add_argument(
+        "--dataset-type", choices=("mri", "ct", "ct-organs"), default="mri",
+        help="mri: per-case modality dirs (BraTS); ct: flat volume-*/"
+        "segmentation-* pairs (liver2017); ct-organs: per-case dir with one "
+        "CT + per-organ binary masks (AbdomenAtlas)",
+    )
+    ap.add_argument(
         "--modalities", nargs="+", default=list(BRATS_MODALITIES)
     )
     ap.add_argument("--seg-filename", default="seg.nii.gz")
+    ap.add_argument("--volume-prefix", default="volume-")
+    ap.add_argument("--seg-prefix", default="segmentation-")
+    ap.add_argument("--image-name", default="ct.nii.gz")
+    ap.add_argument("--organ-list", nargs="+", default=None,
+                    help="per-organ mask filenames, label order (ct-organs)")
+    ap.add_argument("--foreground-classes", nargs="+", type=int,
+                    default=[1, 2], help="labels to oversample (ct)")
     ap.add_argument("--plan-only", action="store_true")
     args = ap.parse_args(argv)
 
@@ -34,12 +79,7 @@ def main(argv=None):
     if not raw_dir or not out_dir:
         ap.error("--raw-dir/--out-dir required (or provide a config.yaml)")
 
-    pp = MultiModalityPreprocessor(
-        base_dir=os.path.dirname(raw_dir.rstrip("/")) or ".",
-        image_dir=os.path.basename(raw_dir.rstrip("/")),
-        data_filenames=tuple(args.modalities),
-        seg_filename=args.seg_filename,
-    )
+    pp = build_preprocessor(args, raw_dir)
     plan = pp.run_plan()
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "plan.json"), "w") as f:
@@ -47,7 +87,15 @@ def main(argv=None):
     print(json.dumps(plan, indent=2))
     if args.plan_only:
         return
-    done = pp.run(out_dir, num_processes=args.num_processes)
+    # CT normalization needs the fingerprint percentiles (reference:
+    # `preprocessor_abdomen_atlas.py` collect_foreground_intensities).
+    intensity_props = None
+    if pp.normalization == "ct":
+        intensity_props = {
+            int(k): v for k, v in plan["intensities_per_channel"].items()
+        }
+    done = pp.run(out_dir, num_processes=args.num_processes,
+                  intensity_props=intensity_props)
     print(f"preprocessed {len(done)} cases -> {out_dir}")
 
 
