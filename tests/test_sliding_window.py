@@ -183,3 +183,72 @@ class TestPatchLevelTTA:
             tta_mode="patch",
         )
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestChannelsFirstLayout:
+    """channels-first stitch + io_layout model must match channels-last
+    bit-for-bit (same compute, different storage layout)."""
+
+    def test_cf_inference_matches_cl(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from waveformer_tpu.inference.sliding_window import (
+            sliding_window_inference,
+        )
+
+        def fake_model_cl(patches):  # (B, *roi, C) -> (B, *roi, 2)
+            a = patches.sum(-1, keepdims=True)
+            return jnp.concatenate([a, -a], -1)
+
+        def fake_model_cf(patches):  # (B, C, *roi) -> (B, 2, *roi)
+            a = patches.sum(1, keepdims=True)
+            return jnp.concatenate([a, -a], 1)
+
+        vol = jnp.asarray(rng.standard_normal((24, 24, 24, 3)), jnp.float32)
+        ref = sliding_window_inference(
+            vol, fake_model_cl, (16, 16, 16), 2, overlap=0.5,
+            sw_batch_size=4, mirror_axes=(0, 1, 2),
+        )
+        got = sliding_window_inference(
+            vol.transpose(3, 0, 1, 2), fake_model_cf, (16, 16, 16), 2,
+            overlap=0.5, sw_batch_size=4, mirror_axes=(0, 1, 2),
+            layout="channels_first",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(1, 2, 3, 0), np.asarray(ref),
+            atol=1e-5, rtol=1e-5,
+        )
+
+    def test_cf_model_predict_case(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from waveformer_tpu.inference import Predictor, SlidingWindowInferer
+        from waveformer_tpu.models import create_waveformer
+
+        net = dict(in_chans=2, out_chans=3, img_size=(16, 16, 16),
+                   patch_size=2, embed_dims=(4, 8, 16, 32),
+                   num_heads=(1, 2, 4, 4), depths=(1, 1, 1, 1),
+                   decom_levels=(3, 2, 1, 0), drop_path_rate=0.0)
+        m_cl = create_waveformer(net)
+        m_cf = create_waveformer(net, io_layout="channels_first")
+        vol = rng.standard_normal((20, 22, 18, 2)).astype(np.float32)
+        params = m_cl.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, 16, 16, 2)))
+        props = {"shape_after_cropping_before_resample": (20, 22, 18),
+                 "shape_before_cropping": (30, 30, 30),
+                 "bbox_used_for_cropping": [[2, 22], [1, 23], [6, 24]]}
+        p_cl = Predictor(SlidingWindowInferer((16,) * 3, sw_batch_size=4,
+                                              overlap=0.25))
+        seg_cl = p_cl.predict_case(
+            vol, lambda p: m_cl.apply(params, p), 3, properties=props)
+        p_cf = Predictor(SlidingWindowInferer((16,) * 3, sw_batch_size=4,
+                                              overlap=0.25,
+                                              layout="channels_first"))
+        seg_cf = p_cf.predict_case(
+            vol.transpose(3, 0, 1, 2), lambda p: m_cf.apply(params, p), 3,
+            properties=props)
+        assert seg_cl.shape == seg_cf.shape == (30, 30, 30)
+        # identical compute in different layouts: identical labels
+        assert (seg_cl == seg_cf).mean() > 0.999

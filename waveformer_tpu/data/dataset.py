@@ -78,9 +78,18 @@ class MedicalDataset:
             else self.case_names[idx_or_name]
         )
         base = os.path.join(self.data_dir, name)
-        data = np.load(base + ".npy", mmap_mode="r")
-        seg_path = base + "_seg.npy"
-        seg = np.load(seg_path, mmap_mode="r") if os.path.exists(seg_path) else None
+        if os.path.exists(base + ".npy"):
+            data = np.load(base + ".npy", mmap_mode="r")
+            seg_path = base + "_seg.npy"
+            seg = (
+                np.load(seg_path, mmap_mode="r")
+                if os.path.exists(seg_path)
+                else None
+            )
+        else:  # not yet unpacked: read the compressed artifact directly
+            z = np.load(base + ".npz")
+            data = z["data"]
+            seg = z["seg"] if "seg" in z.files else None
         return {"data": data, "seg": seg, "properties": self.properties(name),
                 "name": name}
 

@@ -49,7 +49,8 @@ class InferenceAlgorithm:
             jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
         )
         self.model = create_waveformer(
-            self.cfg.network.model_kwargs(), dtype=dtype
+            self.cfg.network.model_kwargs(), dtype=dtype,
+            io_layout="channels_first",
         )
         params = load_params_npz(checkpoint)
         self.params = jax.tree.map(jnp.asarray, params)
@@ -59,6 +60,7 @@ class InferenceAlgorithm:
             sw_batch_size=self.cfg.prediction.sw_batch_size,
             overlap=self.cfg.prediction.overlap,
             mirror_axes=self.cfg.prediction.mirror_axes if use_tta else None,
+            layout="channels_first",
         )
         self.predictor = Predictor(inferer)
 
@@ -74,9 +76,8 @@ class InferenceAlgorithm:
     def process_case(self, case_name: str) -> str:
         data, _, props = self.preprocessor.read_data(case_name)
         data, _, props = self.preprocessor.run_case_npy(data, None, props)
-        vol = data.transpose(1, 2, 3, 0)  # (D, H, W, C)
         seg = self.predictor.predict_case(
-            vol,
+            data,  # already (C, D, H, W) — the cf pipeline's native layout
             self.predict_fn,
             out_channels=self.cfg.network.out_channels,
             properties=props,

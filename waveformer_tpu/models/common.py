@@ -130,6 +130,14 @@ class _Conv3dCore(nn.Module):
     axis into three batched 2D convs measures 1.9× faster on v5e
     (11.5 → 6.0 ms for 48→48 @128³ bf16) and is numerically identical.
     Parameter layout is unchanged: kernel (kD, kH, kW, I/groups, O).
+
+    `cf_in` / `cf_out`: consume/produce channels-FIRST tensors
+    (B, C, D, H, W). TPU lane tiling pads the minor dim to 128, so a
+    channels-last tensor with tiny C (the 4-channel model input, the
+    4-logit output) is stored 32×-padded — every pass over it runs at
+    ~3% of HBM speed. The channels-first paths contract via einsum without
+    ever materializing a small-C-minor tensor. Parameters are identical
+    to the channels-last path (checkpoint compatible).
     """
 
     features: int
@@ -140,10 +148,14 @@ class _Conv3dCore(nn.Module):
     use_bias: bool
     kernel_init: Callable
     dtype: Dtype
+    cf_in: bool = False
+    cf_out: bool = False
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
+        if self.cf_in:
+            return self._call_cf(x)
         cin = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -206,7 +218,53 @@ class _Conv3dCore(nn.Module):
             ).astype(self.dtype)
         if bias is not None:
             out = out + bias.astype(self.dtype)
+        if self.cf_out:
+            out = out.transpose(0, 4, 1, 2, 3)
         return out
+
+    def _call_cf(self, x):
+        """Channels-first input (B, C, D, H, W): tap-stacked einsum, no
+        small-C-minor materialization."""
+        k = self.kernel_size
+        cin = x.shape[1]
+        if self.groups != 1 or self.stride != 1 or k not in (1, 3):
+            raise NotImplementedError("cf_in supports dense k∈{1,3}, stride 1")
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, k, cin, self.features)
+        ).astype(self.dtype)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        x = x.astype(self.dtype)
+        if k == 1:
+            out = jnp.einsum(
+                "bcdhw,co->bdhwo" if not self.cf_out else "bcdhw,co->bodhw",
+                x,
+                kernel[0, 0, 0],
+            )
+        else:
+            b, c, d, h, w = x.shape
+            xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
+            taps = [
+                xp[:, :, kd : kd + d, kh : kh + h, kw : kw + w]
+                for kd in range(3)
+                for kh in range(3)
+                for kw in range(3)
+            ]
+            stacked = jnp.concatenate(taps, axis=1)  # (B, 27·C, D, H, W)
+            out = jnp.einsum(
+                "bkdhw,ko->bdhwo" if not self.cf_out else "bkdhw,ko->bodhw",
+                stacked,
+                kernel.reshape(k * k * k * cin, self.features),
+            )
+        if bias is not None:
+            bshape = (
+                (1, 1, 1, 1, -1) if not self.cf_out else (1, -1, 1, 1, 1)
+            )
+            out = out + bias.astype(self.dtype).reshape(bshape)
+        return out.astype(self.dtype)
 
 
 class Conv3d(nn.Module):
@@ -220,6 +278,8 @@ class Conv3d(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = torch_conv_default_init
     dtype: Dtype = jnp.float32
+    cf_in: bool = False
+    cf_out: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -234,6 +294,8 @@ class Conv3d(nn.Module):
             use_bias=self.use_bias,
             kernel_init=self.kernel_init,
             dtype=self.dtype,
+            cf_in=self.cf_in,
+            cf_out=self.cf_out,
             name="conv",
         )(x)
 
@@ -285,14 +347,23 @@ class PatchEmbed(nn.Module):
     embed_dim: int
     patch_size: int = 2
     dtype: Dtype = jnp.float32
+    cf_in: bool = False
 
     @nn.compact
     def __call__(self, x):
-        b, d, h, w, c = x.shape
         p = self.patch_size
-        x = x.reshape(b, d // p, p, h // p, p, w // p, p, c)
-        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
-        x = x.reshape(b, d // p, h // p, w // p, p * p * p * c)
+        if self.cf_in:
+            # (B, C, D, H, W) input: identical feature order (pd, ph, pw, c)
+            # without ever materializing a small-C-minor tensor
+            b, c, d, h, w = x.shape
+            x = x.reshape(b, c, d // p, p, h // p, p, w // p, p)
+            x = x.transpose(0, 2, 4, 6, 3, 5, 7, 1)
+            x = x.reshape(b, d // p, h // p, w // p, p * p * p * c)
+        else:
+            b, d, h, w, c = x.shape
+            x = x.reshape(b, d // p, p, h // p, p, w // p, p, c)
+            x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+            x = x.reshape(b, d // p, h // p, w // p, p * p * p * c)
         dense = nn.Dense(
             self.embed_dim,
             use_bias=True,

@@ -29,20 +29,27 @@ Dtype = Any
 
 
 class UnetResBlock(nn.Module):
-    """conv3→IN→lrelu→conv3→IN (+1×1 shortcut if channels change)→+→lrelu."""
+    """conv3→IN→lrelu→conv3→IN (+1×1 shortcut if channels change)→+→lrelu.
+
+    `cf_in=True` consumes a channels-FIRST (B, C, D, H, W) input — used by
+    the full-resolution skip encoder whose 4-channel input would otherwise
+    be stored 32×-lane-padded (see `_Conv3dCore.cf_in`)."""
 
     out_channels: int
     kernel_size: int = 3
+    cf_in: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         residual = x
+        in_ch = x.shape[1] if self.cf_in else x.shape[-1]
         h = Conv3d(
             self.out_channels,
             kernel_size=self.kernel_size,
             use_bias=False,
             dtype=self.dtype,
+            cf_in=self.cf_in,
             name="conv1",
         )(x)
         h = leaky_relu(instance_norm(h.astype(jnp.float32))).astype(self.dtype)
@@ -54,12 +61,13 @@ class UnetResBlock(nn.Module):
             name="conv2",
         )(h)
         h = instance_norm(h.astype(jnp.float32))
-        if x.shape[-1] != self.out_channels:
+        if in_ch != self.out_channels:
             residual = Conv3d(
                 self.out_channels,
                 kernel_size=1,
                 use_bias=False,
                 dtype=self.dtype,
+                cf_in=self.cf_in,
                 name="conv3",
             )(residual)
             residual = instance_norm(residual.astype(jnp.float32))
@@ -71,6 +79,7 @@ class UnetBasicBlock(nn.Module):
 
     out_channels: int
     kernel_size: int = 3
+    cf_in: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -80,6 +89,7 @@ class UnetBasicBlock(nn.Module):
             kernel_size=self.kernel_size,
             use_bias=False,
             dtype=self.dtype,
+            cf_in=self.cf_in,
             name="conv1",
         )(x)
         h = leaky_relu(instance_norm(h.astype(jnp.float32))).astype(self.dtype)
@@ -99,6 +109,7 @@ class UnetrBasicBlock(nn.Module):
     out_channels: int
     kernel_size: int = 3
     res_block: bool = True
+    cf_in: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -107,6 +118,7 @@ class UnetrBasicBlock(nn.Module):
         return cls(
             self.out_channels,
             kernel_size=self.kernel_size,
+            cf_in=self.cf_in,
             dtype=self.dtype,
             name="layer",
         )(x)
@@ -136,9 +148,12 @@ class UnetrUpBlock(nn.Module):
 
 
 class UnetOutBlock(nn.Module):
-    """1×1×1 conv head with bias."""
+    """1×1×1 conv head with bias. `cf_out=True` emits channels-first
+    (B, O, D, H, W) logits directly from the head matmul — the
+    channels-last O=4 logit tensor would be 32×-lane-padded."""
 
     out_channels: int
+    cf_out: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -148,6 +163,7 @@ class UnetOutBlock(nn.Module):
             kernel_size=1,
             use_bias=True,
             dtype=self.dtype,
+            cf_out=self.cf_out,
             name="conv",
         )(x)
 

@@ -54,6 +54,7 @@ class MultiscaleTransformer(nn.Module):
     drop_path_rate: float = 0.0
     norm_eps: float = 1e-6
     use_checkpoint: bool = False
+    cf_in: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -68,6 +69,7 @@ class MultiscaleTransformer(nn.Module):
             embed_dim=self.embed_dims[0],
             patch_size=self.patch_size,
             dtype=self.dtype,
+            cf_in=self.cf_in,
             name="patch_embed",
         )(x)
 
@@ -139,17 +141,26 @@ class Waveformer(nn.Module):
     res_block: bool = True
     use_checkpoint: bool = False
     deep_supervision: bool = False
+    io_layout: str = "channels_last"  # or "channels_first"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_in: jax.Array, deterministic: bool = True):
         """(B, D, H, W, C_in) → logits (B, D, H, W, out_chans).
 
+        With `io_layout="channels_first"`, input and logits are
+        (B, C, D, H, W) instead: TPU lane tiling pads a minor dim to 128,
+        so the 4-channel input / 4-logit output are stored 32×-padded in
+        the channels-last layout — the channels-first boundary keeps both
+        ends of the network at full HBM speed (internals stay
+        channels-last, where C ≥ 48). Parameters are identical.
+
         With `deep_supervision=True` (training-time option; the reference
         ships the wrapper unused, `light_training/loss/deepsupervision.py`),
         returns a list of logits at full / half / quarter resolution —
         pair with `training.losses.deep_supervision_loss`.
         """
+        cf = self.io_layout == "channels_first"
         fs = self.embed_dims
         outs, outs_hf = MultiscaleTransformer(
             img_size=self.img_size,
@@ -166,12 +177,14 @@ class Waveformer(nn.Module):
             drop_path_rate=self.drop_path_rate,
             norm_eps=self.norm_eps,
             use_checkpoint=self.use_checkpoint,
+            cf_in=cf,
             dtype=self.dtype,
             name="waveformer_encoder",
         )(x_in, deterministic)
 
         enc0 = UnetrBasicBlock(
-            fs[0], res_block=self.res_block, dtype=self.dtype, name="encoder1"
+            fs[0], res_block=self.res_block, cf_in=cf, dtype=self.dtype,
+            name="encoder1"
         )(x_in)
         enc1 = UnetrBasicBlock(
             fs[0], res_block=self.res_block, dtype=self.dtype, name="encoder2"
@@ -234,16 +247,18 @@ class Waveformer(nn.Module):
         dec1 = UnetrUpBlock(
             fs[0], res_block=self.res_block, dtype=self.dtype, name="decoder1"
         )(combined, enc0)
-        logits = UnetOutBlock(self.out_chans, dtype=self.dtype, name="out")(dec1)
+        logits = UnetOutBlock(
+            self.out_chans, cf_out=cf, dtype=self.dtype, name="out"
+        )(dec1)
         if not self.deep_supervision:
             return logits
         # auxiliary heads at 1/2 (the fused 64³ features) and 1/4 (dec3)
-        aux1 = UnetOutBlock(self.out_chans, dtype=self.dtype, name="ds_out1")(
-            dec2
-        )
-        aux2 = UnetOutBlock(self.out_chans, dtype=self.dtype, name="ds_out2")(
-            dec3
-        )
+        aux1 = UnetOutBlock(
+            self.out_chans, cf_out=cf, dtype=self.dtype, name="ds_out1"
+        )(dec2)
+        aux2 = UnetOutBlock(
+            self.out_chans, cf_out=cf, dtype=self.dtype, name="ds_out2"
+        )(dec3)
         return [logits, aux1, aux2]
 
 
