@@ -215,3 +215,61 @@ class TestTrainStep:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-5
             )
+
+
+class TestDiceBCE:
+    """Region-based DC_and_BCE parity vs the reference torch formula
+    (`light_training/loss/compound_losses.py:60-100`, `loss/dice.py:58-115`)."""
+
+    def _torch_ref(self, logits, targets, use_ignore=False):
+        import torch
+
+        x = torch.from_numpy(logits)  # (B, C, *spatial)
+        y = torch.from_numpy(targets)
+        if use_ignore:
+            mask = (1 - y[:, -1:])
+            y = y[:, :-1]
+        else:
+            mask = None
+        bce = torch.nn.BCEWithLogitsLoss(reduction="none")(x, y)
+        if mask is not None:
+            ce = (bce * mask).sum() / torch.clip(mask.sum(), min=1e-8)
+        else:
+            ce = bce.mean()
+        probs = torch.sigmoid(x)
+        axes = list(range(2, x.ndim))
+        if mask is not None:
+            inter = (probs * y * mask).sum(axes)
+            sp = (probs * mask).sum(axes)
+            sg = (y * mask).sum(axes)
+        else:
+            inter = (probs * y).sum(axes)
+            sp = probs.sum(axes)
+            sg = y.sum(axes)
+        inter, sp, sg = inter.sum(0), sp.sum(0), sg.sum(0)  # batch dice
+        dc = (2 * inter + 1e-5) / torch.clip(sg + sp + 1e-5, 1e-8)
+        return float(ce - dc.mean())
+
+    def test_matches_torch_formula(self, rng):
+        from waveformer_tpu.training.losses import dice_bce_loss
+
+        logits = rng.standard_normal((2, 8, 8, 8, 3)).astype(np.float32)
+        targets = (rng.random((2, 8, 8, 8, 3)) > 0.6).astype(np.float32)
+        want = self._torch_ref(
+            logits.transpose(0, 4, 1, 2, 3), targets.transpose(0, 4, 1, 2, 3)
+        )
+        got = float(dice_bce_loss(jnp.asarray(logits), jnp.asarray(targets)))
+        assert abs(want - got) < 1e-5, (want, got)
+
+    def test_ignore_label(self, rng):
+        from waveformer_tpu.training.losses import dice_bce_loss
+
+        logits = rng.standard_normal((2, 8, 8, 8, 2)).astype(np.float32)
+        targets = (rng.random((2, 8, 8, 8, 3)) > 0.5).astype(np.float32)
+        want = self._torch_ref(
+            logits.transpose(0, 4, 1, 2, 3), targets.transpose(0, 4, 1, 2, 3),
+            use_ignore=True,
+        )
+        got = float(dice_bce_loss(jnp.asarray(logits), jnp.asarray(targets),
+                                  use_ignore_label=True))
+        assert abs(want - got) < 1e-5, (want, got)

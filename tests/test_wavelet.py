@@ -136,3 +136,38 @@ class TestTorchParity:
             np.testing.assert_allclose(
                 np.asarray(ref)[0, ..., 0], out[0, 0].numpy(), atol=1e-5
             )
+
+
+class TestGoldenFixtures:
+    """Committed golden coefficient fixtures (tests/fixtures/wavelet_*.npz,
+    generated by tools/gen_wavelet_fixtures.py — pywt when available,
+    torch-conv oracle otherwise). Pins `wavedec3` to the ptwt/pywt 'zero'
+    convention the reference checkpoints assume
+    (`wave_helper.py:343-353`), incl. odd extents and multi-level."""
+
+    @pytest.mark.parametrize("fname", [
+        "wavelet_db1_6x6x6_l1.npz",
+        "wavelet_db1_7x9x5_l2.npz",
+        "wavelet_db1_8x12x10_l2.npz",
+    ])
+    def test_wavedec3_matches_fixture(self, fname):
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "fixtures", fname)
+        z = np.load(path)
+        level = int(z["level"])
+        x = z["x"]  # (C, D, H, W)
+        xin = jnp.asarray(x.transpose(1, 2, 3, 0)[None])  # (1, D, H, W, C)
+        coeffs = wv.wavedec3(xin, level=level)
+        lf, details = coeffs[0], coeffs[1:]
+        for c in range(x.shape[0]):
+            np.testing.assert_allclose(
+                np.asarray(lf)[0, ..., c], z[f"c{c}_lf"], atol=1e-5
+            )
+            for li, det in enumerate(details):
+                for k in wv.DETAIL_KEYS:
+                    np.testing.assert_allclose(
+                        np.asarray(det[k])[0, ..., c],
+                        z[f"c{c}_l{li}_{k}"], atol=1e-5,
+                        err_msg=f"{fname} c{c} level{li} {k}",
+                    )

@@ -169,6 +169,17 @@ class _Conv3dCore(nn.Module):
         )
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
+        if k == 1 and self.stride == 1 and self.groups == 1:
+            # 1³ conv IS a channel matmul. XLA's conv lowering for k=1 picks
+            # a batch-in-sublanes layout with 2.7× padding (observed: a
+            # bf16[8,128³,48]{4,0,3,2,1} copy per skip conv at sw_batch=8,
+            # 4 GB for a 1.5 GB tensor) — einsum avoids the conv op entirely.
+            out = jnp.einsum("...c,co->...o", x, kernel[0, 0, 0])
+            if bias is not None:
+                out = out + bias.astype(self.dtype)
+            if self.cf_out:
+                out = out.transpose(0, 4, 1, 2, 3)
+            return out
         fast = (
             k == 3
             and self.stride == 1

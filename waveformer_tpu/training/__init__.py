@@ -1,5 +1,6 @@
 from waveformer_tpu.training.losses import (  # noqa: F401
     DiceCELoss,
+    dice_bce_loss,
     dice_ce_loss,
     soft_dice_loss,
     deep_supervision_loss,

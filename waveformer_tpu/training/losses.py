@@ -136,6 +136,67 @@ class DiceCELoss:
         return dice_ce_loss(logits, labels, **self.kwargs)
 
 
+def dice_bce_loss(
+    logits: jax.Array,
+    region_targets: jax.Array,
+    weight_ce: float = 1.0,
+    weight_dice: float = 1.0,
+    use_ignore_label: bool = False,
+    batch_dice: bool = True,
+    smooth: float = 1e-5,
+    axis_name: Optional[str] = None,
+) -> jax.Array:
+    """Region-based sigmoid DC+BCE (reference `DC_and_BCE_loss`,
+    `light_training/loss/compound_losses.py:60-100` with
+    `MemoryEfficientSoftDiceLoss`, `loss/dice.py:58-115`).
+
+    `region_targets` is one-hot over overlapping regions, channels-LAST
+    (B, *spatial, C) — the nnUNet region-training formulation (e.g. BraTS
+    TC/WT/ET). With `use_ignore_label` the LAST channel marks voxels to
+    exclude. The dice term follows the reference exactly: `-mean(dice)`
+    (so this loss can be negative), batch_dice sums the statistics over
+    batch and — with `axis_name` — psums them across the mesh data axis
+    (the reference's `AllGatherGrad` DDP path).
+    """
+    x = logits.astype(jnp.float32)
+    t = region_targets.astype(jnp.float32)
+    if use_ignore_label:
+        mask = 1.0 - t[..., -1:]
+        t = t[..., :-1]
+    else:
+        mask = None
+
+    # BCE with logits (torch BCEWithLogitsLoss semantics)
+    bce = jnp.maximum(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    if mask is not None:
+        ce = jnp.sum(bce * mask) / jnp.clip(jnp.sum(mask), 1e-8)
+    else:
+        ce = jnp.mean(bce)
+
+    probs = jax.nn.sigmoid(x)
+    spatial = tuple(range(1, x.ndim - 1))
+    if mask is not None:
+        intersect = jnp.sum(probs * t * mask, axis=spatial)
+        sum_pred = jnp.sum(probs * mask, axis=spatial)
+        sum_gt = jnp.sum(t * mask, axis=spatial)
+    else:
+        intersect = jnp.sum(probs * t, axis=spatial)
+        sum_pred = jnp.sum(probs, axis=spatial)
+        sum_gt = jnp.sum(t, axis=spatial)
+    if batch_dice:
+        intersect = jnp.sum(intersect, axis=0)
+        sum_pred = jnp.sum(sum_pred, axis=0)
+        sum_gt = jnp.sum(sum_gt, axis=0)
+        if axis_name is not None:
+            intersect = jax.lax.psum(intersect, axis_name)
+            sum_pred = jax.lax.psum(sum_pred, axis_name)
+            sum_gt = jax.lax.psum(sum_gt, axis_name)
+    dc = (2.0 * intersect + smooth) / jnp.clip(
+        sum_gt + sum_pred + smooth, 1e-8
+    )
+    return weight_ce * ce - weight_dice * jnp.mean(dc)
+
+
 def topk_cross_entropy(
     logits: jax.Array, labels: jax.Array, k_percent: float = 10.0
 ) -> jax.Array:
