@@ -217,3 +217,60 @@ class TestLabelModes:
         lab = jnp.asarray([[[[[3]]]]], jnp.int32)
         out = np.asarray(t.convert_labels(lab))
         np.testing.assert_array_equal(out[0, :, 0, 0, 0], [1, 1, 1])
+
+
+class TestValidationDiceSemantics:
+    """NaN-filtered validation mean (reference `trainer.py:240-269`):
+    absent classes are excluded from the per-class mean, not scored 1.0."""
+
+    def test_nan_filtering(self, tiny_dataset, tmp_path):
+        t = Trainer(_tiny_model(), max_epochs=1, batch_size=1,
+                    patch_size=(16, 16, 16), logdir=str(tmp_path),
+                    label_mode="multiclass", num_classes=4)
+
+        class FakeLoader:
+            def __init__(self, arrays):
+                self.arrays = arrays
+            def __iter__(self):
+                return iter([])
+
+        # simulate 3 patches x 3 classes: class0 present everywhere,
+        # class1 absent (NaN) in patch 1, class2 absent everywhere
+        vals = [
+            np.array([[0.8, np.nan, np.nan]]),
+            np.array([[0.6, 0.4, np.nan]]),
+            np.array([[0.7, 0.2, np.nan]]),
+        ]
+        t.validation_step = lambda p, b: vals.pop(0)
+        t._device_batch = lambda b: b
+        t.state = type("S", (), {"params": None})()
+
+        class L:
+            def __iter__(self):
+                return iter([1, 2, 3])
+
+        out = t._validate(L())
+        np.testing.assert_allclose(out[0], 0.7, atol=1e-6)
+        np.testing.assert_allclose(out[1], 0.3, atol=1e-6)  # mean of 0.4, 0.2
+        assert out[2] == 0.0  # all-NaN class scores 0, not 1
+
+    def test_validation_step_emits_nan_for_absent_class(self, rng, tmp_path):
+        t = Trainer(_tiny_model(), max_epochs=1, batch_size=1,
+                    patch_size=(16, 16, 16), logdir=str(tmp_path),
+                    label_mode="multiclass", num_classes=4)
+        import jax
+        params = t.model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1))
+        )
+        from waveformer_tpu.training.state import make_eval_step
+        t._eval_step = make_eval_step(t.model.apply, mesh=t.mesh)
+        seg = np.zeros((1, 16, 16, 16, 1), np.int8)
+        seg[0, 2:6, 2:6, 2:6] = 1  # only class 1 present
+        batch = {"data": jnp.asarray(rng.standard_normal((1, 16, 16, 16, 1)),
+                                     jnp.float32),
+                 "seg": jnp.asarray(seg)}
+        d = t.validation_step(params, batch)
+        assert d.shape == (1, 3)
+        # classes 2 and 3 are absent from GT; NaN only if also absent from
+        # prediction — class 1 present in GT must be a number
+        assert not np.isnan(d[0, 0])

@@ -135,7 +135,11 @@ class Trainer:
         ).astype(jnp.float32)
 
     def validation_step(self, params, batch) -> np.ndarray:
-        """Per-class patch dice (`3_train.py:132-148`)."""
+        """Per-patch per-class dice (`3_train.py:132-148`), NaN where the
+        class is absent from both prediction and ground truth — the
+        reference's convention, so absent classes can be FILTERED from the
+        epoch mean rather than counted as 1.0
+        (`light_training/trainer.py:240-269`)."""
         logits = self._eval_step(params, batch["data"])
         pred = jnp.argmax(logits, axis=-1)[..., None]
         pred_c = self.convert_labels(pred)
@@ -145,8 +149,8 @@ class Trainer:
         ps = jnp.sum(pred_c, axis=axes)
         gs = jnp.sum(gt_c, axis=axes)
         both_empty = (ps == 0) & (gs == 0)
-        dice = jnp.where(both_empty, 1.0, 2 * inter / (ps + gs + 1e-8))
-        return np.asarray(jnp.mean(dice, axis=0))  # (K,)
+        dice = jnp.where(both_empty, jnp.nan, 2 * inter / (ps + gs + 1e-8))
+        return np.asarray(dice)  # (B, K), NaN = class absent everywhere
 
     def validation_end(self, mean_dice_per_class: np.ndarray):
         """Best/final/periodic checkpoint logic (`3_train.py:150-188`)."""
@@ -284,11 +288,16 @@ class Trainer:
         return float(np.mean(losses)) if losses else 0.0
 
     def _validate(self, loader) -> np.ndarray:
-        per_class: List[np.ndarray] = []
+        per_patch: List[np.ndarray] = []
         for batch in loader:
             b = self._device_batch(batch)
-            per_class.append(self.validation_step(self.state.params, b))
-        return np.mean(np.stack(per_class), axis=0)
+            per_patch.append(self.validation_step(self.state.params, b))
+        all_vals = np.concatenate(per_patch, axis=0)  # (N, K) with NaNs
+        # reference semantics: mean over non-NaN patches per class; a class
+        # absent from every patch scores 0 (`light_training/trainer.py:240-269`)
+        counts = np.sum(~np.isnan(all_vals), axis=0)
+        sums = np.nansum(all_vals, axis=0)
+        return np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
 
     # ------------------------------------------------------------------ #
     def validation_single_gpu(
