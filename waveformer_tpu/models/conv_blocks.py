@@ -103,6 +103,26 @@ class UnetBasicBlock(nn.Module):
         return leaky_relu(instance_norm(h.astype(jnp.float32))).astype(self.dtype)
 
 
+def _scan_over_batch(block: nn.Module, x: jax.Array) -> jax.Array:
+    """Apply a per-sample block sequentially over the batch axis.
+
+    The conv fast path is a per-volume formulation; at B>1 a naive lax.map
+    per CONV pays a batch slice + layout copy + write-back per conv
+    (~3 ms/volume @128³ on v5e). Scanning the WHOLE block instead pays that
+    boundary cost once per block: the dec1 res block measures
+    19.9 → 14.6 ms/patch at sw_batch=8. Parameters are broadcast, so the
+    tree is identical to the unscanned module."""
+    scan = nn.scan(
+        lambda mdl, carry, xi: (carry, mdl(xi[None])[0]),
+        variable_broadcast="params",
+        split_rngs={"params": False},
+        in_axes=0,
+        out_axes=0,
+    )
+    _, y = scan(block, None, x)
+    return y
+
+
 class UnetrBasicBlock(nn.Module):
     """Skip-encoder block: UnetResBlock (res_block=True in the reference)."""
 
@@ -115,13 +135,16 @@ class UnetrBasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         cls = UnetResBlock if self.res_block else UnetBasicBlock
-        return cls(
+        block = cls(
             self.out_channels,
             kernel_size=self.kernel_size,
             cf_in=self.cf_in,
             dtype=self.dtype,
             name="layer",
-        )(x)
+        )
+        if x.shape[0] > 1:
+            return _scan_over_batch(block, x)
+        return block(x)
 
 
 class UnetrUpBlock(nn.Module):
@@ -139,12 +162,15 @@ class UnetrUpBlock(nn.Module):
         )(x)
         h = jnp.concatenate([up, skip], axis=-1)
         cls = UnetResBlock if self.res_block else UnetBasicBlock
-        return cls(
+        block = cls(
             self.out_channels,
             kernel_size=self.kernel_size,
             dtype=self.dtype,
             name="conv_block",
-        )(h)
+        )
+        if h.shape[0] > 1:
+            return _scan_over_batch(block, h)
+        return block(h)
 
 
 class UnetOutBlock(nn.Module):

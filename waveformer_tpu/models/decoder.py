@@ -76,9 +76,14 @@ class UnetrIDWTBlock(nn.Module):
         out = waverec3([lf] + list(hf_coeffs), wavelet=self.wavelet)
         out = jnp.concatenate([out, skip], axis=-1)
         cls = UnetResBlock if self.res_block else UnetBasicBlock
-        return cls(
+        block = cls(
             self.out_channels,
             kernel_size=self.kernel_size,
             dtype=self.dtype,
             name="conv_block",
-        )(out)
+        )
+        if out.shape[0] > 1:
+            from waveformer_tpu.models.conv_blocks import _scan_over_batch
+
+            return _scan_over_batch(block, out)
+        return block(out)
