@@ -55,7 +55,7 @@ def main():
         mirror_axes=(0, 1, 2),
         layout="channels_first",
     )
-    predictor = Predictor(inferer)
+    predictor = Predictor(inferer, upload_dtype=jnp.bfloat16)
 
     # typical post-crop BraTS case shape; bucket = 192³
     shape = (4, 150, 180, 145)

@@ -176,9 +176,10 @@ class SSLVolumeDataset:
         vol = scale_intensity_range(
             vol, self.a_min, self.a_max, self.b_min, self.b_max
         )
-        # pad to at least the ROI (SpatialPadd), then fg-crop k-divisible
+        # pad to at least the ROI (SpatialPadd): MONAI's symmetric pad puts
+        # the odd leftover voxel at the END (data_utils.py:81 convention)
         pads = [
-            ((r - s) // 2 + (r - s) % 2, (r - s) // 2) if s < r else (0, 0)
+            ((r - s) // 2, r - s - (r - s) // 2) if s < r else (0, 0)
             for r, s in zip(self.roi, vol.shape)
         ]
         if any(p != (0, 0) for p in pads):

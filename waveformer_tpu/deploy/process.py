@@ -62,7 +62,7 @@ class InferenceAlgorithm:
             mirror_axes=self.cfg.prediction.mirror_axes if use_tta else None,
             layout="channels_first",
         )
-        self.predictor = Predictor(inferer)
+        self.predictor = Predictor(inferer, upload_dtype=dtype)
 
         from waveformer_tpu.data.preprocessing import MultiModalityPreprocessor
 

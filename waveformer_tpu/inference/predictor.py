@@ -18,6 +18,7 @@ Geometry metadata rides in the nnUNet-style `properties` dict produced by
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, Optional, Sequence
 
 import jax
@@ -48,9 +49,16 @@ class Predictor:
         self,
         inferer: SlidingWindowInferer,
         postprocess_largest_cc: bool = False,
+        upload_dtype=None,
     ):
+        """`upload_dtype`: host-side cast applied before H2D upload. Pass the
+        model's compute dtype (e.g. ``jnp.bfloat16``) to halve upload bytes —
+        numerically free only when the model casts inputs to that dtype
+        anyway. ``None`` (default) uploads volumes at their stored dtype, so
+        fp32 pipelines keep fp32 inputs."""
         self.inferer = inferer
         self.postprocess_largest_cc = postprocess_largest_cc
+        self.upload_dtype = upload_dtype
 
     # ------------------------------------------------------------------ #
     def predict_logits(
@@ -95,19 +103,18 @@ class Predictor:
 
     # ------------------------------------------------------------------ #
     @staticmethod
-    def upload(volume: np.ndarray) -> jax.Array:
-        """Host-cast to bf16 and start the H2D transfer (async).
+    def upload(volume: np.ndarray, dtype=None) -> jax.Array:
+        """Start the H2D transfer (async), optionally host-casting first.
 
-        The model's first layer casts inputs to bf16 anyway, so uploading
-        bf16 is numerically identical to uploading fp32 — at half the bytes
-        over the (slow) host link. Returns immediately; the transfer overlaps
-        any in-flight device work.
+        When ``dtype`` is bf16 (the model's compute dtype), uploading bf16 is
+        numerically identical to uploading fp32 — the model would cast anyway
+        — at half the bytes over the (slow) host link. With ``dtype=None`` no
+        cast happens, so fp32 inference keeps fp32 input precision. Returns
+        immediately; the transfer overlaps any in-flight device work.
         """
-        import ml_dtypes
-
         host = np.asarray(volume)
-        if host.dtype == np.float32:
-            host = host.astype(ml_dtypes.bfloat16)
+        if dtype is not None and host.dtype != np.dtype(dtype):
+            host = host.astype(dtype)
         return jax.device_put(host)
 
     # ------------------------------------------------------------------ #
@@ -136,7 +143,7 @@ class Predictor:
         device. Returns the (not yet materialized) uint8 device array."""
         cf = getattr(self.inferer, "layout", "channels_last") == "channels_first"
         if not isinstance(volume, jax.Array):
-            volume = self.upload(volume)
+            volume = self.upload(volume, self.upload_dtype)
         logits = self.predict_logits(volume, predictor_fn, out_channels)
         if cf:  # (out, D, H, W) → resample expects batch-of-volumes
             logits = logits.transpose(1, 2, 3, 0)
@@ -189,6 +196,154 @@ class Predictor:
             pending = started
         if pending is not None:
             yield self._finish_case(*pending)
+
+    # ------------------------------------------------------------------ #
+    def predict_cases_sharded(
+        self,
+        volumes,
+        predictor_fn: Callable,
+        out_channels: int,
+        properties_list=None,
+        mesh=None,
+    ):
+        """Case-parallel full-volume inference over the mesh `data` axis.
+
+        The <60 s north-star delivery mechanism (BASELINE.md): each device
+        runs the complete TTA sliding-window program on ITS OWN case, so a
+        v5e-8 processes 8 cases per dispatch. Equivalent of the reference's
+        eval sharding + gather (`light_training/sampler.py:5-48` consumed by
+        `trainer.py:302-311`) — redesigned as a `shard_map` over a
+        `jax.sharding.Mesh` instead of rank-sliced dataloaders.
+
+        Cases are grouped by padded bucket shape (one compiled executable per
+        bucket), stacked to (n_dev, C, *bucket), sharded over `data`, and
+        argmax-ed on device — only uint8 label maps cross the host link.
+        Cases whose geometry requires a logit resample
+        (`shape_after_cropping... != sliding-window shape`) fall back to the
+        serial per-case path, which resamples logits before argmax (the
+        reference's semantics, `prediction.py:35-63`).
+
+        Yields (index, label_map) in ascending case order.
+        """
+        import jax.sharding as jsh
+        from jax import shard_map
+
+        if mesh is None:
+            from waveformer_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        axis_names = tuple(mesh.axis_names)
+        spec = jsh.PartitionSpec(axis_names)  # all axes over dim 0
+
+        vols = list(volumes)
+        props = (
+            list(properties_list)
+            if properties_list is not None
+            else [None] * len(vols)
+        )
+        cf = getattr(self.inferer, "layout", "channels_last") == "channels_first"
+
+        def _needs_resample(vol, p):
+            if p is None:
+                return False
+            key = (
+                "shape_after_cropping_before_resample"
+                if "shape_after_cropping_before_resample" in p
+                else "shape_after_cropping_and_before_resampling"
+            )
+            if key not in p:
+                return False
+            spatial = vol.shape[1:] if cf else vol.shape[:3]
+            return tuple(int(v) for v in p[key]) != tuple(spatial)
+
+        # partition: device-parallel cases vs serial fallback (resampled)
+        groups: Dict[tuple, list] = {}
+        serial_idx = []
+        for i, (v, p) in enumerate(zip(vols, props)):
+            if _needs_resample(v, p):
+                serial_idx.append(i)
+                continue
+            spatial = v.shape[1:] if cf else v.shape[:3]
+            bucket = self.inferer.padded_shape(spatial)
+            groups.setdefault(bucket, []).append(i)
+
+        results: Dict[int, np.ndarray] = {}
+
+        @functools.lru_cache(maxsize=None)
+        def compiled_for(bucket):
+            def per_device(stacked):
+                # local shard (1, C, *bucket) / (1, *bucket, C)
+                from waveformer_tpu.inference.sliding_window import (
+                    sliding_window_inference,
+                )
+
+                logits = sliding_window_inference(
+                    stacked[0],
+                    predictor_fn,
+                    roi_size=self.inferer.roi_size,
+                    out_channels=out_channels,
+                    overlap=self.inferer.overlap,
+                    sw_batch_size=self.inferer.sw_batch_size,
+                    mode=self.inferer.mode,
+                    mirror_axes=self.inferer.mirror_axes,
+                    tta_mode=self.inferer.tta_mode,
+                    layout=self.inferer.layout,
+                )
+                ch_axis = 0 if cf else -1
+                return jnp.argmax(logits, axis=ch_axis).astype(jnp.uint8)[None]
+
+            return jax.jit(
+                shard_map(
+                    per_device,
+                    mesh=mesh,
+                    in_specs=(spec,),
+                    out_specs=spec,
+                    # the stitch accumulator starts as an unvarying zeros
+                    # array; per-device results are inherently varying
+                    check_vma=False,
+                )
+            )
+
+        for bucket, idxs in groups.items():
+            fn = compiled_for(bucket)
+            for r0 in range(0, len(idxs), n_dev):
+                round_idx = idxs[r0 : r0 + n_dev]
+                batch = []
+                for i in round_idx:
+                    v = np.asarray(vols[i])
+                    if self.upload_dtype is not None:
+                        v = v.astype(self.upload_dtype)
+                    spatial = v.shape[1:] if cf else v.shape[:3]
+                    sp_pads = [(0, b - s) for b, s in zip(bucket, spatial)]
+                    pads = (
+                        [(0, 0)] + sp_pads if cf else sp_pads + [(0, 0)]
+                    )
+                    batch.append(np.pad(v, pads))
+                while len(batch) < n_dev:  # pad round with a repeat
+                    batch.append(batch[-1])
+                stacked = np.stack(batch)
+                sharding = jsh.NamedSharding(mesh, spec)
+                segs = np.asarray(fn(jax.device_put(stacked, sharding)))
+                for k, i in enumerate(round_idx):
+                    v = vols[i]
+                    spatial = v.shape[1:] if cf else v.shape[:3]
+                    seg = segs[k][
+                        : spatial[0], : spatial[1], : spatial[2]
+                    ]
+                    if props[i] is not None:
+                        seg = self.embed_to_original(seg, props[i])
+                    if self.postprocess_largest_cc:
+                        seg = largest_connected_component(seg)
+                    results[i] = seg
+
+        for i in serial_idx:
+            results[i] = self.predict_case(
+                np.asarray(vols[i]), predictor_fn, out_channels, props[i]
+            )
+
+        for i in sorted(results):
+            yield i, results[i]
 
     # ------------------------------------------------------------------ #
     def save_to_nii(

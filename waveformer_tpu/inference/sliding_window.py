@@ -365,13 +365,27 @@ def _sliding_window_cf(
     imp = jnp.asarray(compute_importance_map(tuple(roi_size), mode))
     cm = jnp.asarray(count_map(spatial, roi_size, overlap, mode))
 
+    # Mirror the channels-last structure: static unroll ONLY when the whole
+    # grid fits one chunk (the bucketed flagship case — XLA fuses the static
+    # slices into the model); otherwise a lax.scan over fixed-size chunks
+    # (duplicate-padded, zero-masked) so the model body compiles once instead
+    # of once per chunk (inlining copies was measured at ~10 min compile).
+    pad_to = int(math.ceil(n_patches / sw_batch_size)) * sw_batch_size
+    dup_mask = np.ones((pad_to,), np.float32)
+    starts_np = starts_all
+    if pad_to > n_patches:
+        starts_np = np.concatenate(
+            [starts_all, np.repeat(starts_all[-1:], pad_to - n_patches, 0)], 0
+        )
+        dup_mask[n_patches:] = 0.0
+    starts = jnp.asarray(starts_np)
+    mask = jnp.asarray(dup_mask)
+    n_chunks = pad_to // sw_batch_size
+
     def run_one_orientation(vol: jax.Array) -> jax.Array:
         acc = jnp.zeros((out_channels, *spatial), jnp.float32)
-        for chunk in range(0, n_patches, sw_batch_size):
-            starts = [
-                tuple(int(v) for v in s)
-                for s in starts_all[chunk : chunk + sw_batch_size]
-            ]
+        if n_chunks == 1:
+            sts = [tuple(int(v) for v in s) for s in starts_all]
             patches = jnp.stack(
                 [
                     jax.lax.slice(
@@ -380,18 +394,46 @@ def _sliding_window_cf(
                         (c, s[0] + roi_size[0], s[1] + roi_size[1],
                          s[2] + roi_size[2]),
                     )
-                    for s in starts
+                    for s in sts
                 ],
                 axis=0,
             )  # (b, C, *roi)
             logits = predictor(patches).astype(jnp.float32)
             logits = logits * imp[None, None]
-            for i, s in enumerate(starts):
+            for i, s in enumerate(sts):
                 pos = (0, *s)
                 cur = jax.lax.dynamic_slice(
                     acc, pos, (out_channels, *roi_size)
                 )
                 acc = jax.lax.dynamic_update_slice(acc, cur + logits[i], pos)
+            return acc
+
+        def chunk_body(acc, chunk_idx):
+            idx0 = chunk_idx * sw_batch_size
+
+            def gather(i):
+                s = starts[idx0 + i]
+                return jax.lax.dynamic_slice(
+                    vol, (0, s[0], s[1], s[2]), (c, *roi_size)
+                )
+
+            patches = jnp.stack(
+                [gather(i) for i in range(sw_batch_size)], axis=0
+            )
+            logits = predictor(patches).astype(jnp.float32)
+            logits = logits * imp[None, None]
+            for i in range(sw_batch_size):
+                s = starts[idx0 + i]
+                pos = (0, s[0], s[1], s[2])
+                cur = jax.lax.dynamic_slice(
+                    acc, pos, (out_channels, *roi_size)
+                )
+                acc = jax.lax.dynamic_update_slice(
+                    acc, cur + logits[i] * mask[idx0 + i], pos
+                )
+            return acc, None
+
+        acc, _ = jax.lax.scan(chunk_body, acc, jnp.arange(n_chunks))
         return acc
 
     if not mirror_axes:

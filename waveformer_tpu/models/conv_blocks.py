@@ -71,6 +71,10 @@ class UnetResBlock(nn.Module):
                 name="conv3",
             )(residual)
             residual = instance_norm(residual.astype(jnp.float32))
+        elif self.cf_in:
+            # identity shortcut on a channels-first input: h is channels-last
+            # by now, so bring the residual to the same layout
+            residual = jnp.moveaxis(residual, 1, -1)
         return leaky_relu(h + residual.astype(jnp.float32)).astype(self.dtype)
 
 

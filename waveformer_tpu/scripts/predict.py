@@ -100,7 +100,7 @@ def main(argv=None):
         mirror_axes=None if args.no_tta else cfg.prediction.mirror_axes,
         layout="channels_first",
     )
-    predictor = Predictor(inferer)
+    predictor = Predictor(inferer, upload_dtype=dtype)
     out_dir = cfg.prediction.prediction_save
     os.makedirs(out_dir, exist_ok=True)
 
