@@ -64,6 +64,7 @@ def test_spatial_sharded_forward_flagship():
     np.testing.assert_allclose(sharded, serial, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_spatial_sharded_forward_small():
     """Quick-suite guard: data=2 x spatial=2 on a reduced model."""
     mesh = make_mesh(MeshSpec(data=2, spatial=2), jax.devices()[:4])

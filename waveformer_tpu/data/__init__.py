@@ -8,6 +8,7 @@ from waveformer_tpu.data.pipeline import PrefetchLoader  # noqa: F401
 from waveformer_tpu.data.preprocessing import (  # noqa: F401
     CTPreprocessor,
     DefaultPreprocessor,
+    MultiInputRegionPreprocessor,
     MultiModalityPreprocessor,
     OrganMaskPreprocessor,
 )

@@ -251,6 +251,44 @@ def sample_foreground_locations(
     return out
 
 
+def sample_foreground_locations_regions(
+    seg: np.ndarray,
+    regions: Sequence,
+    max_per_class: int = 10000,
+    min_per_class: int = 1000,
+    seed: int = 1234,
+) -> Dict:
+    """Region-format foreground sampling (the nnUNet regions mode the
+    reference invokes via `_sample_foreground_locations(seg, all_labels,
+    True)`, `preprocessor_multiinput_and_region.py:109-111`).
+
+    Each region is a label OR a sequence of labels treated as one
+    oversampling target (e.g. BraTS regions [[1, 2, 3], [2, 3], [3]]).
+    Keys are the region tuples — `PatchSampler.get_bbox` consumes them
+    like any other class key."""
+    rng = np.random.RandomState(seed)
+    out: Dict = {}
+    if seg.ndim == 3:
+        seg = seg[None]
+    for region in regions:
+        labels = (
+            (int(region),)
+            if np.isscalar(region)
+            else tuple(int(v) for v in region)
+        )
+        coords = np.argwhere(np.isin(seg, labels))
+        n = len(coords)
+        key = labels[0] if len(labels) == 1 else labels
+        if n == 0:
+            out[key] = coords
+            continue
+        target = min(n, max(min_per_class, int(math.ceil(n * 0.01))))
+        target = min(target, max_per_class)
+        idx = rng.choice(n, target, replace=False)
+        out[key] = coords[idx]
+    return out
+
+
 # --------------------------------------------------------------------------- #
 # preprocessors
 # --------------------------------------------------------------------------- #
@@ -565,4 +603,35 @@ class OrganMaskPreprocessor(DefaultPreprocessor):
             "raw_size": list(data.shape[1:]),
             "name": case_name,
         }
+        return data, seg, properties
+
+
+@dataclass
+class MultiInputRegionPreprocessor(MultiModalityPreprocessor):
+    """N separate input images per case + region-format label sampling
+    (`preprocessor_multiinput_and_region.py:32-208` capability).
+
+    Differences from the plain multi-modality MRI preprocessor, matching
+    the reference variant: per-channel CT normalization driven by supplied
+    `foreground_intensity_properties_per_channel` (`:51-58`), and
+    `class_locations` sampled per REGION — groups of labels oversampled as
+    one target (`:109-111`, nnUNet regions mode) — for region-based
+    training with `training.losses.dice_bce_loss` (sigmoid DC+BCE over
+    region channels).
+
+    `regions`: e.g. ((1, 2, 3), (2, 3), (3,)) for BraTS WT/TC/ET, or
+    scalars for plain labels.
+    """
+
+    normalization: str = "ct"
+    regions: Tuple = ()
+
+    def run_case_npy(self, data, seg, properties, intensity_props=None):
+        data, seg, properties = super().run_case_npy(
+            data, seg, properties, intensity_props
+        )
+        if seg is not None and self.regions:
+            properties["class_locations"] = sample_foreground_locations_regions(
+                seg, self.regions
+            )
         return data, seg, properties

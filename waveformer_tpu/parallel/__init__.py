@@ -4,3 +4,7 @@ from waveformer_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     replicate,
 )
+from waveformer_tpu.parallel.tensor_sharding import (  # noqa: F401
+    shard_params_tensor,
+    tensor_param_specs,
+)

@@ -13,8 +13,10 @@ axes, and `NamedSharding` annotations instead of per-rank processes:
                 volume across devices for activations too large for one chip
                 (the analog the reference lacks entirely; see SURVEY.md §5
                 long-context discussion).
-  * `tensor`  — reserved for channel/head sharding of the attention/FFN
-                matmuls on larger model variants.
+  * `tensor`  — Megatron-style column/row sharding of the attention/FFN
+                weights for larger model variants: see
+                `parallel.tensor_sharding.shard_params_tensor`
+                (equivalence-tested in tests/test_tensor_sharding.py).
 
 Multi-host init is `jax.distributed.initialize()` (one process per host) —
 no torchrun-style re-exec, no rendezvous env plumbing.
