@@ -87,6 +87,16 @@ def main():
     elif args.which == "enc0":
         mod = UnetrBasicBlock(48, cf_in=True, dtype=dt)
         xs = [jax.random.normal(key, (B, 4, 128, 128, 128), dt)]
+    elif args.which == "model":
+        from waveformer_tpu.config import Config
+        from waveformer_tpu.models import create_waveformer
+
+        cfg = Config()
+        mod = create_waveformer(
+            cfg.network.model_kwargs(), dtype=dt,
+            io_layout="channels_first",
+        )
+        xs = [jax.random.normal(key, (B, 4, 128, 128, 128), dt)]
     else:
         raise SystemExit(f"unknown --which {args.which}")
 
