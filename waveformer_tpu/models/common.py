@@ -235,7 +235,17 @@ class _Conv3dCore(nn.Module):
         k = self.kernel_size
         if self.cf_in:
             return self._call_cf(x)
-        cin = x.shape[-1]
+        # A TUPLE input means "convolve the channel-concatenation of these
+        # parts" WITHOUT materializing the concat: the kernel is one
+        # (k,k,k,ΣC,O) parameter applied in per-part slices whose partial
+        # outputs sum in fp32 — algebraically identical to conv(concat),
+        # parameter-compatible, and it deletes the concat's HBM round trip
+        # + layout copies (traced ~3.8 ms/patch around dec1 at sw_batch=8).
+        parts = x if isinstance(x, tuple) else (x,)
+        if len(parts) > 1 and (self.groups != 1 or self.stride != 1):
+            parts = (jnp.concatenate(parts, axis=-1),)
+        cin = sum(p.shape[-1] for p in parts)
+        offs = np.cumsum([0] + [p.shape[-1] for p in parts]).tolist()
         kernel = self.param(
             "kernel",
             self.kernel_init,
@@ -247,13 +257,19 @@ class _Conv3dCore(nn.Module):
             else None
         )
         kernel = kernel.astype(self.dtype)
-        x = x.astype(self.dtype)
+        parts = tuple(p.astype(self.dtype) for p in parts)
+        x = parts[0]
         if k == 1 and self.stride == 1 and self.groups == 1:
             # 1³ conv IS a channel matmul. XLA's conv lowering for k=1 picks
             # a batch-in-sublanes layout with 2.7× padding (observed: a
             # bf16[8,128³,48]{4,0,3,2,1} copy per skip conv at sw_batch=8,
             # 4 GB for a 1.5 GB tensor) — einsum avoids the conv op entirely.
-            out = jnp.einsum("...c,co->...o", x, kernel[0, 0, 0])
+            out = None
+            for pi, p in enumerate(parts):
+                term = jnp.einsum(
+                    "...c,co->...o", p, kernel[0, 0, 0, offs[pi]: offs[pi + 1]]
+                )
+                out = term if out is None else out + term
             if bias is not None:
                 out = out + bias.astype(self.dtype)
             if self.cf_out:
@@ -275,29 +291,33 @@ class _Conv3dCore(nn.Module):
         # pass under bf16 training. The MXU accumulates in fp32 internally
         # either way; the cross-tap sum below is done in fp32 explicitly.
         if fast:
-            def one_volume(vol):  # (D, H, W, C) → (D, H, W, O)
-                d = vol.shape[0]
-                vp = jnp.pad(vol, ((1, 1), (0, 0), (0, 0), (0, 0)))
+            def one_volume(vols):  # tuple of (D, H, W, Ci) → (D, H, W, O)
                 acc = None
-                for kd in range(3):
-                    part = jax.lax.conv_general_dilated(
-                        vp[kd : kd + d],
-                        kernel[kd],
-                        (1, 1),
-                        [(1, 1), (1, 1)],
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    ).astype(jnp.float32)
-                    acc = part if acc is None else acc + part
+                for pi, vol in enumerate(vols):
+                    d = vol.shape[0]
+                    vp = jnp.pad(vol, ((1, 1), (0, 0), (0, 0), (0, 0)))
+                    kslc = kernel[:, :, :, offs[pi]: offs[pi + 1]]
+                    for kd in range(3):
+                        part = jax.lax.conv_general_dilated(
+                            vp[kd : kd + d],
+                            kslc[kd],
+                            (1, 1),
+                            [(1, 1), (1, 1)],
+                            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        ).astype(jnp.float32)
+                        acc = part if acc is None else acc + part
                 return acc.astype(self.dtype)
 
             if x.shape[0] == 1:
-                out = one_volume(x[0])[None]
+                out = one_volume(tuple(p[0] for p in parts))[None]
             else:
                 # lax.map keeps XLA's single-volume fusion (measured 12.2 vs
                 # 17.8 ms for two 48→48 convs @128³ vs flattening the batch
                 # into the conv batch dim)
-                out = jax.lax.map(one_volume, x)
+                out = jax.lax.map(one_volume, parts)
         else:
+            if len(parts) > 1:
+                x = jnp.concatenate(parts, axis=-1)
             out = jax.lax.conv_general_dilated(
                 x,
                 kernel,

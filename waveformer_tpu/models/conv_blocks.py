@@ -41,9 +41,16 @@ class UnetResBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x) -> jax.Array:
+        # A tuple input is the channel-concatenation of its parts, consumed
+        # without materializing the concat (see `_Conv3dCore`): conv1 and
+        # the 1×1 shortcut slice their single kernel parameter per part.
+        pair = isinstance(x, tuple)
         residual = x
-        in_ch = x.shape[1] if self.cf_in else x.shape[-1]
+        if pair:
+            in_ch = sum(p.shape[-1] for p in x)
+        else:
+            in_ch = x.shape[1] if self.cf_in else x.shape[-1]
         h = Conv3d(
             self.out_channels,
             kernel_size=self.kernel_size,
@@ -71,6 +78,10 @@ class UnetResBlock(nn.Module):
                 name="conv3",
             )(residual)
             residual = instance_norm(residual.astype(jnp.float32))
+        elif pair:
+            # identity shortcut over a pair input (ΣC == out): the concat
+            # must materialize for the add — outside the hot configs
+            residual = jnp.concatenate(residual, axis=-1)
         elif self.cf_in:
             # identity shortcut on a channels-first input: h is channels-last
             # by now, so bring the residual to the same layout
@@ -117,7 +128,10 @@ def _scan_over_batch(block: nn.Module, x: jax.Array) -> jax.Array:
     19.9 → 14.6 ms/patch at sw_batch=8. Parameters are broadcast, so the
     tree is identical to the unscanned module."""
     scan = nn.scan(
-        lambda mdl, carry, xi: (carry, mdl(xi[None])[0]),
+        lambda mdl, carry, xi: (
+            carry,
+            mdl(jax.tree.map(lambda t: t[None], xi))[0],
+        ),
         variable_broadcast="params",
         split_rngs={"params": False},
         in_axes=0,
@@ -164,7 +178,12 @@ class UnetrUpBlock(nn.Module):
         up = ConvTranspose2x(
             self.out_channels, use_bias=False, dtype=self.dtype, name="transp_conv"
         )(x)
-        h = jnp.concatenate([up, skip], axis=-1)
+        # feed (up, skip) as a tuple: the res block consumes the pair as a
+        # virtual concat (conv kernels sliced per part) — no 2×-channel
+        # tensor is ever written
+        h = (up, skip) if self.res_block else jnp.concatenate(
+            [up, skip], axis=-1
+        )
         cls = UnetResBlock if self.res_block else UnetBasicBlock
         block = cls(
             self.out_channels,
@@ -172,7 +191,7 @@ class UnetrUpBlock(nn.Module):
             dtype=self.dtype,
             name="conv_block",
         )
-        if h.shape[0] > 1:
+        if up.shape[0] > 1:
             return _scan_over_batch(block, h)
         return block(h)
 
