@@ -54,6 +54,7 @@ def main():
         overlap=0.5,
         mirror_axes=(0, 1, 2),
         layout="channels_first",
+        tta_mode="patch",  # stitch once, orientations folded into the patch predictor: 4.14 vs 4.30 s/case (see BENCH_NOTES.md)
     )
     predictor = Predictor(inferer, upload_dtype=jnp.bfloat16)
 

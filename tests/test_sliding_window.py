@@ -184,6 +184,29 @@ class TestPatchLevelTTA:
         )
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
+    def test_patch_tta_equals_volume_tta_channels_first(self, rng):
+        """Same equivalence on the channels-first stitch (the TPU default
+        pipeline layout)."""
+        kernel = rng.standard_normal((3, 2, 3, 3, 3)).astype(np.float32) * 0.2
+
+        def jax_pred_cf(patches):  # (B, C, *roi) -> (B, 3, *roi)
+            k = jnp.asarray(kernel.transpose(2, 3, 4, 1, 0))
+            return jax.lax.conv_general_dilated(
+                patches, k, (1, 1, 1), "SAME",
+                dimension_numbers=("NCDHW", "DHWIO", "NCDHW"),
+            )
+
+        vol = jnp.asarray(rng.standard_normal((2, 24, 24, 24)), jnp.float32)
+        a = sliding_window_inference(
+            vol, jax_pred_cf, (16, 16, 16), 3, mirror_axes=(0, 1, 2),
+            tta_mode="volume", layout="channels_first",
+        )
+        b = sliding_window_inference(
+            vol, jax_pred_cf, (16, 16, 16), 3, mirror_axes=(0, 1, 2),
+            tta_mode="patch", layout="channels_first",
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
 
 class TestChannelsFirstLayout:
     """channels-first stitch + io_layout model must match channels-last

@@ -61,6 +61,7 @@ class InferenceAlgorithm:
             overlap=self.cfg.prediction.overlap,
             mirror_axes=self.cfg.prediction.mirror_axes if use_tta else None,
             layout="channels_first",
+            tta_mode="patch",
         )
         self.predictor = Predictor(inferer, upload_dtype=dtype)
 

@@ -152,7 +152,7 @@ def sliding_window_inference(
     if layout == "channels_first":
         return _sliding_window_cf(
             volume, predictor, roi_size, out_channels, overlap,
-            sw_batch_size, mode, mirror_axes,
+            sw_batch_size, mode, mirror_axes, tta_mode,
         )
     spatial = volume.shape[:3]
     starts_np = dense_patch_starts(spatial, roi_size, overlap)
@@ -356,6 +356,7 @@ def _sliding_window_cf(
     sw_batch_size: int,
     mode: str,
     mirror_axes: Optional[Sequence[int]],
+    tta_mode: str = "volume",
 ) -> jax.Array:
     """Channels-first stitch: volume (C, D, H, W) → (out, D, H, W)."""
     c = volume.shape[0]
@@ -382,7 +383,8 @@ def _sliding_window_cf(
     mask = jnp.asarray(dup_mask)
     n_chunks = pad_to // sw_batch_size
 
-    def run_one_orientation(vol: jax.Array) -> jax.Array:
+    def run_one_orientation(vol: jax.Array, pred_fn=None) -> jax.Array:
+        pred_fn = pred_fn or predictor
         acc = jnp.zeros((out_channels, *spatial), jnp.float32)
         if n_chunks == 1:
             sts = [tuple(int(v) for v in s) for s in starts_all]
@@ -398,7 +400,7 @@ def _sliding_window_cf(
                 ],
                 axis=0,
             )  # (b, C, *roi)
-            logits = predictor(patches).astype(jnp.float32)
+            logits = pred_fn(patches).astype(jnp.float32)
             logits = logits * imp[None, None]
             for i, s in enumerate(sts):
                 pos = (0, *s)
@@ -420,7 +422,7 @@ def _sliding_window_cf(
             patches = jnp.stack(
                 [gather(i) for i in range(sw_batch_size)], axis=0
             )
-            logits = predictor(patches).astype(jnp.float32)
+            logits = pred_fn(patches).astype(jnp.float32)
             logits = logits * imp[None, None]
             for i in range(sw_batch_size):
                 s = starts[idx0 + i]
@@ -438,6 +440,48 @@ def _sliding_window_cf(
 
     if not mirror_axes:
         return run_one_orientation(volume) / cm[None]
+
+    # Patch-level TTA (tta_mode="patch"): when the patch grid is mirror-
+    # symmetric, volume-level TTA equals averaging the 8 flipped predictions
+    # per patch (see the channels-last branch for the algebra). The volume
+    # is sliced and stitched ONCE instead of once per orientation — flips
+    # act on 128³ patches inside the predictor, and the fp32 accumulator /
+    # count-map divide run a single time.
+    def _grid_symmetric() -> bool:
+        for dim, (L, r) in enumerate(zip(spatial, roi_size)):
+            ax_starts = np.unique(starts_all[:, dim])
+            mirrored = np.sort(L - r - ax_starts)
+            if not np.array_equal(np.sort(ax_starts), mirrored):
+                return False
+        return True
+
+    combos_all = _flip_axes_combinations(tuple(mirror_axes))
+    if tta_mode == "patch" and _grid_symmetric():
+        def tta_predictor(patches: jax.Array) -> jax.Array:
+            # patches (B, C, *roi): flips act on spatial axes 2..4
+            stacked = jnp.stack(
+                [
+                    jnp.flip(patches, axis=tuple(a + 2 for a in axes))
+                    if axes
+                    else patches
+                    for axes in combos_all
+                ],
+                axis=0,
+            )  # (n_orient, sw, C, *roi)
+
+            def body(_, p):
+                return None, predictor(p).astype(jnp.float32)
+
+            _, preds = jax.lax.scan(body, None, stacked)
+            total = jnp.zeros_like(preds[0])
+            for oi, axes in enumerate(combos_all):
+                part = preds[oi]
+                if axes:
+                    part = jnp.flip(part, axis=tuple(a + 2 for a in axes))
+                total = total + part
+            return total / len(combos_all)
+
+        return run_one_orientation(volume, tta_predictor) / cm[None]
 
     combos = _flip_axes_combinations(tuple(mirror_axes))
     flip_bits = np.zeros((len(combos), 3), np.bool_)

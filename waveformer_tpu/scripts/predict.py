@@ -99,6 +99,7 @@ def main(argv=None):
         overlap=cfg.prediction.overlap,
         mirror_axes=None if args.no_tta else cfg.prediction.mirror_axes,
         layout="channels_first",
+        tta_mode="patch",
     )
     predictor = Predictor(inferer, upload_dtype=dtype)
     out_dir = cfg.prediction.prediction_save
