@@ -24,6 +24,9 @@ from waveformer_tpu.data import augment as aug
 
 _TRANSFORMS = {
     "train": aug.get_train_transforms,
+    # native OpenMP order-1 spatial resample instead of scipy order-3:
+    # ~10× faster per worker, augmentation-quality impact negligible
+    "train_fast": lambda: aug.get_train_transforms(fast_spatial=True),
     "nomirror": aug.get_train_transforms_nomirror,
     "onlymirror": aug.get_train_transforms_onlymirror,
     "onlyspatial": aug.get_train_transforms_onlyspatial,

@@ -70,7 +70,12 @@ class Trainer:
         mesh=None,
         num_workers: int = 12,
         cache_size: int = 6,
-        augmentation: str = "train",
+        # "train_fast" = the full nnUNet stack with the native OpenMP
+        # order-1 spatial resample (vs scipy order-3). Default because the
+        # augment pipeline is host-CPU-bound at flagship patch sizes:
+        # 666 vs ~2000 ms/step on a 1-core host (BENCH_NOTES.md); pass
+        # "train" for the reference's exact order-3 spline.
+        augmentation: str = "train_fast",
         label_mode: str = "brats",
         num_classes: int = 4,
         seed: int = 42,
