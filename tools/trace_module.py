@@ -87,6 +87,14 @@ def main():
     elif args.which == "enc0":
         mod = UnetrBasicBlock(48, cf_in=True, dtype=dt)
         xs = [jax.random.normal(key, (B, 4, 128, 128, 128), dt)]
+    elif args.which == "stage1":
+        from waveformer_tpu.models.blocks import WaveFormerBlock
+
+        mod = WaveFormerBlock(
+            dim=48, num_heads=3, level=3, img_size=(64, 64, 64),
+            mlp_ratio=4, ms_attention=True, drop_path=0.0, dtype=dt,
+        )
+        xs = [jax.random.normal(key, (B, 64, 64, 64, 48), dt)]
     elif args.which == "model":
         from waveformer_tpu.config import Config
         from waveformer_tpu.models import create_waveformer
@@ -102,13 +110,13 @@ def main():
 
     params = mod.init(jax.random.PRNGKey(1), *[a[:1] for a in xs])
     fn = jax.jit(lambda p, *a: mod.apply(p, *a))
-    fn(params, *xs).block_until_ready()  # compile
+    jax.tree.leaves(fn(params, *xs))[0].block_until_ready()  # compile
 
     tmp = tempfile.mkdtemp(prefix=f"trace_{args.which}_")
     jax.profiler.start_trace(tmp)
     for _ in range(args.reps):
         out = fn(params, *xs)
-    out.block_until_ready()
+    jax.tree.leaves(out)[0].block_until_ready()
     jax.profiler.stop_trace()
     print(f"[{args.which}] trace in {tmp}; per-rep divide by {args.reps}")
     top_ops(tmp)
