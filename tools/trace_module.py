@@ -64,6 +64,11 @@ def main():
     ap.add_argument("--reps", type=int, default=8)
     args = ap.parse_args()
 
+    path = os.path.expanduser("~/.cache/wftpu_xla")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     from waveformer_tpu.models.layers import ProjectionUpsample
     from waveformer_tpu.models.conv_blocks import (
         UnetrBasicBlock, UnetrUpBlock,
