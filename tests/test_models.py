@@ -46,6 +46,32 @@ class TestSpaceToDepthConv:
             np.testing.assert_allclose(out_cf, out_cl, atol=1e-4)
 
 
+class TestPairedWConv:
+    """WFTPU_PAIRED_CONV=1: paired-output W conv == the unpaired fast path
+    (exact — the kernel zero-pad keeps taps and fp32 sum order identical)."""
+
+    def test_matches_unpaired(self, monkeypatch):
+        rng = np.random.default_rng(2)
+        # batch 1 (inline path), batch >1 (lax.map path), odd H, O=64 gate
+        for shape, cout in [((1, 6, 8, 12, 6), 4), ((3, 4, 7, 10, 5), 64)]:
+            x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+            mod = Conv3d(cout, kernel_size=3, use_bias=True)
+            params = mod.init(jax.random.PRNGKey(0), x)
+            monkeypatch.setenv("WFTPU_PAIRED_CONV", "0")
+            base = mod.apply(params, x)
+            monkeypatch.setenv("WFTPU_PAIRED_CONV", "1")
+            paired = mod.apply(params, x)
+            np.testing.assert_array_equal(np.asarray(base), np.asarray(paired))
+
+    def test_odd_w_falls_back(self, monkeypatch):
+        monkeypatch.setenv("WFTPU_PAIRED_CONV", "1")
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((1, 6, 6, 7, 4)), jnp.float32)
+        mod = Conv3d(8, kernel_size=3)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        assert mod.apply(params, x).shape == (1, 6, 6, 7, 8)
+
+
 class TestGelu:
     def test_matches_torch_exact_gelu(self):
         import torch
