@@ -63,6 +63,17 @@ class TestPairedWConv:
             paired = mod.apply(params, x)
             np.testing.assert_array_equal(np.asarray(base), np.asarray(paired))
 
+    def test_cf_stacked_path_matches(self, monkeypatch):
+        rng = np.random.default_rng(4)
+        x_cf = jnp.asarray(rng.standard_normal((2, 4, 7, 9, 8)), jnp.float32)
+        mod = Conv3d(10, kernel_size=3, use_bias=True, cf_in=True)
+        params = mod.init(jax.random.PRNGKey(0), x_cf)
+        monkeypatch.setenv("WFTPU_PAIRED_CONV", "0")
+        base = mod.apply(params, x_cf)
+        monkeypatch.setenv("WFTPU_PAIRED_CONV", "1")
+        paired = mod.apply(params, x_cf)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(paired))
+
     def test_odd_w_falls_back(self, monkeypatch):
         monkeypatch.setenv("WFTPU_PAIRED_CONV", "1")
         rng = np.random.default_rng(3)
