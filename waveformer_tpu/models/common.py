@@ -208,6 +208,13 @@ def _paired_conv_enabled() -> bool:
     return os.environ.get("WFTPU_PAIRED_CONV", "0") == "1"
 
 
+def _pallas_dwconv_enabled() -> bool:
+    """Pallas depthwise-stencil A/B gate (see `ops/dwconv_pallas.py`)."""
+    import os
+
+    return os.environ.get("WFTPU_PALLAS_DWCONV", "0") == "1"
+
+
 def _pair_w_kernel(kslc: jax.Array) -> jax.Array:
     """(3, 3, 3, C, O) → (3, 3, 4, C, 2O) paired-output kernel.
 
@@ -309,6 +316,26 @@ class _Conv3dCore(nn.Module):
             and self.padding == 1
             and self.groups == 1
         )
+        if (
+            k == 3
+            and self.stride == 1
+            and self.padding == 1
+            and self.groups == cin == self.features
+            and len(parts) == 1
+            and _pallas_dwconv_enabled()
+        ):
+            from waveformer_tpu.ops import dwconv_pallas as dp
+
+            if (
+                dp.supported(*x.shape[1:])
+                and jax.default_backend() == "tpu"
+            ):
+                out = dp.dwconv3(x, kernel[:, :, :, 0, :])
+                if bias is not None:
+                    out = out + bias.astype(self.dtype)
+                if self.cf_out:
+                    out = out.transpose(0, 4, 1, 2, 3)
+                return out
         # NOTE on depthwise convs: a 27-tap shifted-multiply stencil improves
         # the batch-1 forward (103 → 91.5 ms) but regresses the sw_batch=8
         # sliding-window program by 35% (tap intermediates at batch 8 spill);
