@@ -30,9 +30,17 @@ def test_backward_matches_reference():
 
 
 def test_supported_gate():
+    assert supported(64, 64, 64, 192)     # CCF_FFN stage-0 hidden (ragged)
     assert supported(64, 64, 64, 384)     # CCF_FFN stage-1 hidden
-    assert not supported(64, 64, 64, 96)  # lane-ragged C
+    assert not supported(64, 64, 64, 20)  # tiny C: not worth a kernel
     assert not supported(128, 128, 128, 1536)  # VMEM blowout
+
+
+def test_ragged_lane_channels():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 3, 5, 6, 192)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 192)), jnp.float32)
+    np.testing.assert_allclose(dwconv3(x, k, True), _reference(x, k), atol=1e-4)
 
 
 def test_conv3d_depthwise_gate(monkeypatch):

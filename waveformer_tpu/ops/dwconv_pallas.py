@@ -107,6 +107,9 @@ dwconv3.defvjp(_fwd, _bwd)
 
 def supported(d: int, h: int, w: int, c: int) -> bool:
     """Shapes the kernel handles: three padded slabs + fp32 accumulator
-    resident in VMEM, lane dim a clean multiple of 128."""
-    vmem = 3 * (h + 2) * (w + 2) * c * 2 + h * w * c * (4 + 2)
-    return c % 128 == 0 and vmem <= 96 * 1024 * 1024 and d >= 1
+    resident in VMEM. Ragged lane dims (e.g. the stage-0 FFN's C=192)
+    are allowed — Mosaic pads to the next 128 multiple; the padding waste
+    is far below XLA's grouped-conv gap."""
+    cp = -(-c // 128) * 128  # lane-padded channel count
+    vmem = 3 * (h + 2) * (w + 2) * cp * 2 + h * w * cp * (4 + 2)
+    return c % 8 == 0 and c >= 96 and vmem <= 96 * 1024 * 1024 and d >= 1
