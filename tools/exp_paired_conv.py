@@ -79,6 +79,32 @@ def inorm_apply(y):
     return ((y32 - mean) * jax.lax.rsqrt(var + 1e-5)).astype(y.dtype)
 
 
+def batched(fn):
+    """lax.map over the leading batch axis (the scan-over-batch idiom)."""
+    def run(xb, w):
+        return jax.lax.map(lambda v: fn(v, w), xb)
+    return run
+
+
+def conv_paired_folded(xb, wp):
+    """Paired conv with B·D folded into the 2D conv batch (no lax.map)."""
+    b, d, h, width, c = xb.shape
+    o2 = wp.shape[-1]
+    vp = jnp.pad(xb, ((0, 0), (1, 1), (0, 0), (1, 1), (0, 0)))
+    acc = None
+    for kd in range(3):
+        flat = vp[:, kd : kd + d].reshape(b * d, h, width + 2, c)
+        part = jax.lax.conv_general_dilated(
+            flat, wp[kd], (1, 2), [(1, 1), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(jnp.float32)
+        acc = part if acc is None else acc + part
+    out2 = acc.astype(xb.dtype)
+    o = o2 // 2
+    return out2.reshape(b, d, h, width // 2, 2, o).reshape(
+        b, d, h, width, o)
+
+
 def main():
     _cache()
     from waveformer_tpu.utils.profiling import device_time
@@ -118,6 +144,26 @@ def main():
         ms_gp = device_time(g_pair, x, wp, iters=it) * 1e3
         print(f"  base + IN             {ms_gb:7.3f} ms")
         print(f"  paired + ilv + IN     {ms_gp:7.3f} ms", flush=True)
+
+    # batch-8 variants at the hot 48->48 @128^3 shape
+    cin = cout = 48
+    xb = jax.random.normal(key, (8, 128, 128, 128, cin), dt)
+    w = jax.random.normal(key, (3, 3, 3, cin, cout), dt) * 0.05
+    wp = pair_kernel(w)
+    f_map_base = jax.jit(batched(conv_fast))
+    f_map_pair = jax.jit(batched(functools.partial(conv_paired)))
+    f_fold = jax.jit(conv_paired_folded)
+    yb = f_map_base(xb, w)
+    yf = f_fold(xb, wp)
+    err = float(jnp.max(jnp.abs(yb.astype(jnp.float32) - yf.astype(jnp.float32))))
+    print(f"[B=8 48->48 @128^3] folded max|diff| = {err:.3e}")
+    for name, fn, ww in [
+        ("map(base)", f_map_base, w),
+        ("map(paired)", f_map_pair, wp),
+        ("folded paired", f_fold, wp),
+    ]:
+        ms = device_time(fn, xb, ww, iters=8) * 1e3
+        print(f"  {name:20s} {ms:8.2f} ms  ({ms/8:6.2f} /patch)", flush=True)
 
 
 if __name__ == "__main__":
