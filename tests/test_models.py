@@ -74,6 +74,23 @@ class TestPairedWConv:
         paired = mod.apply(params, x_cf)
         np.testing.assert_array_equal(np.asarray(base), np.asarray(paired))
 
+    def test_folded_batch_matches_scan(self, monkeypatch):
+        """WFTPU_NO_BATCH_SCAN=1 + paired: B·D-folded convs == the
+        scan-over-batch path (fp32 tolerance — IN stats reorder)."""
+        from waveformer_tpu.models.conv_blocks import UnetrBasicBlock
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((3, 6, 8, 12, 6)), jnp.float32)
+        mod = UnetrBasicBlock(16)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        base = mod.apply(params, x)
+        monkeypatch.setenv("WFTPU_PAIRED_CONV", "1")
+        monkeypatch.setenv("WFTPU_NO_BATCH_SCAN", "1")
+        folded = mod.apply(params, x)
+        np.testing.assert_allclose(
+            np.asarray(base), np.asarray(folded), atol=2e-5
+        )
+
     def test_odd_w_falls_back(self, monkeypatch):
         monkeypatch.setenv("WFTPU_PAIRED_CONV", "1")
         rng = np.random.default_rng(3)

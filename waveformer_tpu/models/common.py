@@ -215,6 +215,15 @@ def _pallas_dwconv_enabled() -> bool:
     return os.environ.get("WFTPU_PALLAS_DWCONV", "0") == "1"
 
 
+def _no_batch_scan() -> bool:
+    """A/B gate: bypass `_scan_over_batch` block scans and run convs with
+    the batch folded into the 2D conv batch dim (only sensible together
+    with WFTPU_PAIRED_CONV — unpaired folded convs measured 2× slower)."""
+    import os
+
+    return os.environ.get("WFTPU_NO_BATCH_SCAN", "0") == "1"
+
+
 def _pair_w_kernel(kslc: jax.Array) -> jax.Array:
     """(3, 3, 3, C, O) → (3, 3, 4, C, 2O) paired-output kernel.
 
@@ -382,6 +391,33 @@ class _Conv3dCore(nn.Module):
 
             if x.shape[0] == 1:
                 out = one_volume(tuple(p[0] for p in parts))[None]
+            elif paired and _no_batch_scan():
+                # B·D-folded paired conv: one dispatch for the whole batch,
+                # no lax.map / block-scan boundary copies
+                b, d, h, wd, _ = x.shape
+                acc = None
+                for pi, p in enumerate(parts):
+                    kp = _pair_w_kernel(
+                        kernel[:, :, :, offs[pi]: offs[pi + 1]]
+                    )
+                    vp = jnp.pad(
+                        p, ((0, 0), (1, 1), (0, 0), (1, 1), (0, 0))
+                    )
+                    for kd in range(3):
+                        flat = vp[:, kd : kd + d].reshape(
+                            b * d, h, wd + 2, p.shape[-1]
+                        )
+                        term = jax.lax.conv_general_dilated(
+                            flat,
+                            kp[kd],
+                            (1, 2),
+                            [(1, 1), (0, 0)],
+                            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        ).astype(jnp.float32)
+                        acc = term if acc is None else acc + term
+                out = acc.astype(self.dtype).reshape(
+                    b, d, h, wd // 2, 2, self.features
+                ).reshape(b, d, h, wd, self.features)
             else:
                 # lax.map keeps XLA's single-volume fusion (measured 12.2 vs
                 # 17.8 ms for two 48→48 convs @128³ vs flattening the batch

@@ -126,7 +126,14 @@ def _scan_over_batch(block: nn.Module, x: jax.Array) -> jax.Array:
     (~3 ms/volume @128³ on v5e). Scanning the WHOLE block instead pays that
     boundary cost once per block: the dec1 res block measures
     19.9 → 14.6 ms/patch at sw_batch=8. Parameters are broadcast, so the
-    tree is identical to the unscanned module."""
+    tree is identical to the unscanned module.
+
+    WFTPU_NO_BATCH_SCAN=1 bypasses the scan entirely (the folded paired
+    conv path handles the batch in one dispatch — see `_Conv3dCore`)."""
+    from waveformer_tpu.models.common import _no_batch_scan
+
+    if _no_batch_scan():
+        return block(x)
     scan = nn.scan(
         lambda mdl, carry, xi: (
             carry,
