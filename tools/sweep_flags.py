@@ -32,6 +32,8 @@ SWEEP = [
     ("paired+dwconv+folded", "1", "1", "1"),
     ("paired+folded", "1", "0", "1"),
     ("dwconv only", "0", "1", "0"),
+    ("folded only", "0", "0", "1"),
+    ("dwconv+folded", "0", "1", "1"),
 ]
 
 
