@@ -167,6 +167,46 @@ class TestTrainStep:
         assert np.isfinite(losses).all()
 
     @pytest.mark.slow
+    def test_use_checkpoint_matches_no_remat(self, rng):
+        """use_checkpoint (remat of encoder blocks AND the full-res conv
+        path) must not change forward logits or gradients — it only trades
+        recompute for HBM."""
+        from waveformer_tpu.models import Waveformer
+
+        kwargs = dict(
+            img_size=(16, 16, 16),
+            patch_size=2,
+            in_chans=1,
+            out_chans=2,
+            depths=(1, 1, 1, 1),
+            embed_dims=(4, 8, 16, 32),
+            num_heads=(1, 2, 4, 4),
+            decom_levels=(3, 2, 1, 0),
+            drop_path_rate=0.0,
+        )
+        base = Waveformer(**kwargs)
+        remat = Waveformer(use_checkpoint=True, **kwargs)
+        x = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 1)), jnp.float32)
+        seg = jnp.asarray((np.asarray(x)[..., :1] > 0).astype(np.int32))
+        params = base.init(jax.random.PRNGKey(0), x)
+        # identical param trees: nn.remat must not change names/shapes
+        params_r = remat.init(jax.random.PRNGKey(0), x)
+        chex = jax.tree_util.tree_structure
+        assert chex(params) == chex(params_r)
+
+        def loss_of(model):
+            def f(p):
+                return dice_ce_loss(model.apply(p, x), seg)
+
+            return jax.jit(jax.value_and_grad(f))
+
+        l0, g0 = loss_of(base)(params)
+        l1, g1 = loss_of(remat)(params)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
+
+    @pytest.mark.slow
     def test_multi_device_step_matches_single(self, rng):
         """DP-sharded step must produce the same updated params as an
         unsharded step on the full batch (the DDP-equivalence guarantee)."""

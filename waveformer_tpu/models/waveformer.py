@@ -162,6 +162,21 @@ class Waveformer(nn.Module):
         """
         cf = self.io_layout == "channels_first"
         fs = self.embed_dims
+        # With use_checkpoint, rematerialize the full-resolution conv path
+        # too (not just the encoder blocks): at 128³ the enc0 / decoder1 /
+        # IDWT-decoder activations dominate HBM during backward — encoder
+        # stage activations are 8-64× smaller. Parameter names/shapes are
+        # unchanged (nn.remat is a lifted transform).
+        if self.use_checkpoint:
+            basic_cls = nn.remat(UnetrBasicBlock)
+            idwt_cls = nn.remat(UnetrIDWTBlock)
+            up_cls = nn.remat(UnetrUpBlock)
+            proj_up_cls = nn.remat(ProjectionUpsample)
+        else:
+            basic_cls = UnetrBasicBlock
+            idwt_cls = UnetrIDWTBlock
+            up_cls = UnetrUpBlock
+            proj_up_cls = ProjectionUpsample
         outs, outs_hf = MultiscaleTransformer(
             img_size=self.img_size,
             patch_size=self.patch_size,
@@ -182,17 +197,17 @@ class Waveformer(nn.Module):
             name="waveformer_encoder",
         )(x_in, deterministic)
 
-        enc0 = UnetrBasicBlock(
+        enc0 = basic_cls(
             fs[0], res_block=self.res_block, cf_in=cf, dtype=self.dtype,
             name="encoder1"
         )(x_in)
-        enc1 = UnetrBasicBlock(
+        enc1 = basic_cls(
             fs[0], res_block=self.res_block, dtype=self.dtype, name="encoder2"
         )(outs[0])
-        enc2 = UnetrBasicBlock(
+        enc2 = basic_cls(
             fs[1], res_block=self.res_block, dtype=self.dtype, name="encoder3"
         )(outs[1])
-        enc3 = UnetrBasicBlock(
+        enc3 = basic_cls(
             fs[2], res_block=self.res_block, dtype=self.dtype, name="encoder4"
         )(outs[2])
 
@@ -200,7 +215,7 @@ class Waveformer(nn.Module):
             fs[3], reduction_ratio=4, dtype=self.dtype, name="encoder10"
         )(outs[3])
 
-        dec4 = UnetrIDWTBlock(
+        dec4 = idwt_cls(
             fs[2],
             stage=1,
             hf_refinement=self.hf_refinement,
@@ -208,7 +223,7 @@ class Waveformer(nn.Module):
             dtype=self.dtype,
             name="decoder4",
         )(dec5, enc3, outs_hf[-1])
-        dec3 = UnetrIDWTBlock(
+        dec3 = idwt_cls(
             fs[1],
             stage=2,
             hf_refinement=self.hf_refinement,
@@ -216,7 +231,7 @@ class Waveformer(nn.Module):
             dtype=self.dtype,
             name="decoder3",
         )(dec5, enc2, outs_hf[-2])
-        dec2 = UnetrIDWTBlock(
+        dec2 = idwt_cls(
             fs[0],
             stage=3,
             hf_refinement=self.hf_refinement,
@@ -225,7 +240,7 @@ class Waveformer(nn.Module):
             name="decoder2",
         )(dec5, enc1, outs_hf[-3])
 
-        dec4_up = ProjectionUpsample(
+        dec4_up = proj_up_cls(
             fs[2],
             fs[0],
             stride=4,
@@ -234,7 +249,7 @@ class Waveformer(nn.Module):
             dtype=self.dtype,
             name="learnable_up4",
         )(dec4)
-        dec3_up = ProjectionUpsample(
+        dec3_up = proj_up_cls(
             fs[1],
             fs[0],
             stride=2,
@@ -244,7 +259,7 @@ class Waveformer(nn.Module):
         )(dec3)
 
         combined = jnp.concatenate([dec4_up, dec3_up, dec2], axis=-1)
-        dec1 = UnetrUpBlock(
+        dec1 = up_cls(
             fs[0], res_block=self.res_block, dtype=self.dtype, name="decoder1"
         )(combined, enc0)
         logits = UnetOutBlock(
