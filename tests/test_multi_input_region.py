@@ -111,3 +111,23 @@ def test_multi_input_region_pipeline(tmp_path):
     # and the loss is differentiable end to end
     g = jax.grad(lambda lg: dice_bce_loss(lg, jnp.asarray(target)))(logits)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_cli_builds_multi_input_driver():
+    """`wtpu-preprocess --dataset-type multi-input` constructs the region
+    driver with parsed region groups (the CLI surface of this variant)."""
+    import argparse
+
+    from waveformer_tpu.scripts.preprocess import build_preprocessor
+
+    ns = argparse.Namespace(
+        dataset_type="multi-input",
+        modalities=["ct.nii.gz", "pet.nii.gz"],
+        seg_filename="seg.nii.gz",
+        regions=["1,2", "2"],
+    )
+    prep = build_preprocessor(ns, "/data/raw/images")
+    assert isinstance(prep, MultiInputRegionPreprocessor)
+    assert prep.regions == REGIONS
+    assert prep.data_filenames == ("ct.nii.gz", "pet.nii.gz")
+    assert prep.normalization == "ct"

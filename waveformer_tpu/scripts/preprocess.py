@@ -12,6 +12,7 @@ import os
 from waveformer_tpu.config import load_config
 from waveformer_tpu.data.preprocessing import (
     CTPreprocessor,
+    MultiInputRegionPreprocessor,
     MultiModalityPreprocessor,
     OrganMaskPreprocessor,
 )
@@ -44,6 +45,19 @@ def build_preprocessor(args, raw_dir):
             image_name=args.image_name,
             seg_list=tuple(args.organ_list),
         )
+    if args.dataset_type == "multi-input":
+        regions = ()
+        if args.regions:
+            regions = tuple(
+                tuple(int(v) for v in group.split(",")) for group in args.regions
+            )
+        return MultiInputRegionPreprocessor(
+            base_dir=os.path.dirname(raw_dir.rstrip("/")) or ".",
+            image_dir=os.path.basename(raw_dir.rstrip("/")),
+            data_filenames=tuple(args.modalities),
+            seg_filename=args.seg_filename,
+            regions=regions,
+        )
     raise SystemExit(f"unknown dataset type {args.dataset_type!r}")
 
 
@@ -54,10 +68,18 @@ def main(argv=None):
     ap.add_argument("--out-dir", default=None, help="override data_dir")
     ap.add_argument("--num-processes", type=int, default=8)
     ap.add_argument(
-        "--dataset-type", choices=("mri", "ct", "ct-organs"), default="mri",
+        "--dataset-type",
+        choices=("mri", "ct", "ct-organs", "multi-input"),
+        default="mri",
         help="mri: per-case modality dirs (BraTS); ct: flat volume-*/"
         "segmentation-* pairs (liver2017); ct-organs: per-case dir with one "
-        "CT + per-organ binary masks (AbdomenAtlas)",
+        "CT + per-organ binary masks (AbdomenAtlas); multi-input: N input "
+        "images per case + region-format labels (CT normalization)",
+    )
+    ap.add_argument(
+        "--regions", nargs="+", default=None,
+        help="region label groups for multi-input, each a comma list, "
+        "e.g. --regions 1,2,3 2,3 3 for BraTS WT/TC/ET",
     )
     ap.add_argument(
         "--modalities", nargs="+", default=list(BRATS_MODALITIES)
