@@ -68,12 +68,12 @@ def main():
         os.environ["WFTPU_PAIRED_CONV"] = paired
         os.environ["WFTPU_PALLAS_DWCONV"] = dwconv
         os.environ["WFTPU_NO_BATCH_SCAN"] = fold
-        fwd = jax.jit(lambda p, v: model.apply(p, v))
-        out = np.asarray(fwd(params, x), np.float32)
+        fwd = jax.jit(lambda v: model.apply(params, v))
+        out = np.asarray(fwd(x), np.float32)
         if ref_out is None:
             ref_out = out
         err = float(np.max(np.abs(out - ref_out)))
-        ms = device_time(fwd, params, x, iters=args.iters) * 1e3
+        ms = device_time(fwd, x, iters=args.iters) * 1e3
         print(
             f"{label:28s} {ms:8.2f} ms  ({ms/args.batch:6.2f} /patch)"
             f"  max|diff|={err:.2e}",
