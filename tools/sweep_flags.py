@@ -25,15 +25,14 @@ def _cache():
 
 
 SWEEP = [
-    # (label, paired, pallas_dwconv, no_batch_scan)
-    ("baseline (r3 shipped)", "0", "0", "0"),
-    ("paired", "1", "0", "0"),
-    ("paired+dwconv", "1", "1", "0"),
-    ("paired+dwconv+folded", "1", "1", "1"),
-    ("paired+folded", "1", "0", "1"),
-    ("dwconv only", "0", "1", "0"),
-    ("folded only", "0", "0", "1"),
-    ("dwconv+folded", "0", "1", "1"),
+    # (label, paired, pallas_dwconv, no_batch_scan, unroll_batch)
+    # Measured (2026-08-18, flagship fwd B=8, iters 32, ms/patch):
+    #   baseline 58.64 | paired 67.7 | dwconv only 60.84 (VMEM-gated to
+    #   the 32³/16³/8³ FFN shapes after the C=192 scoped-OOM fix).
+    # paired+ combos and folded combos dropped: paired loses outright and
+    # unpaired folded convs measured 2× slower standalone (common.py).
+    ("baseline (r3 shipped)", "0", "0", "0", "0"),
+    ("unroll batch", "0", "0", "0", "1"),
 ]
 
 
@@ -64,10 +63,11 @@ def main():
     )
 
     ref_out = None
-    for label, paired, dwconv, fold in SWEEP:
+    for label, paired, dwconv, fold, unroll in SWEEP:
         os.environ["WFTPU_PAIRED_CONV"] = paired
         os.environ["WFTPU_PALLAS_DWCONV"] = dwconv
         os.environ["WFTPU_NO_BATCH_SCAN"] = fold
+        os.environ["WFTPU_UNROLL_BATCH"] = unroll
         fwd = jax.jit(lambda v: model.apply(params, v))
         out = np.asarray(fwd(x), np.float32)
         if ref_out is None:

@@ -224,6 +224,26 @@ def _no_batch_scan() -> bool:
     return os.environ.get("WFTPU_NO_BATCH_SCAN", "0") == "1"
 
 
+def _unroll_batch() -> bool:
+    """A/B gate: statically unroll conv blocks over the batch instead of
+    `lax.scan` — no dynamic-slice/update machinery and no scan-boundary
+    layout conflicts; XLA sees B independent single-volume chains."""
+    import os
+
+    return os.environ.get("WFTPU_UNROLL_BATCH", "0") == "1"
+
+
+def _kdg_conv_enabled() -> bool:
+    """A/B gate: kd-grouped conv — the three depth taps of a 3³ conv as
+    3·O output channels of ONE 2D conv (N = 144 lanes ⇒ 56% MXU lane
+    utilization vs 48/128 = 37.5%) at identical MACs; the cross-slab
+    combine becomes D-shifted slice adds that fuse into the consumer.
+    Also deletes the D-padded input copy (edges handled in the adds)."""
+    import os
+
+    return os.environ.get("WFTPU_KDG_CONV", "0") == "1"
+
+
 def _pair_w_kernel(kslc: jax.Array) -> jax.Array:
     """(3, 3, 3, C, O) → (3, 3, 4, C, 2O) paired-output kernel.
 
@@ -361,11 +381,44 @@ class _Conv3dCore(nn.Module):
                 and _paired_conv_enabled()
             )
 
+            kdg = _kdg_conv_enabled() and not paired
+
             def one_volume(vols):  # tuple of (D, H, W, Ci) → (D, H, W, O)
                 acc = None
                 for pi, vol in enumerate(vols):
                     d, h, wd, _ = vol.shape
                     kslc = kernel[:, :, :, offs[pi]: offs[pi + 1]]
+                    if kdg:
+                        # kd-grouped: ONE 2D conv with 3·O channels (56%
+                        # lane util vs 37.5%), cross-slab combine as
+                        # D-shifted fp32 adds (kd-ordered — bit-identical
+                        # to the kd-loop below for single-part inputs; for
+                        # tuple inputs only the fp32 add association with
+                        # the previous part differs), D edges by zero rows
+                        # instead of a padded input copy.
+                        o = self.features
+                        kg = jnp.concatenate(
+                            [kslc[0], kslc[1], kslc[2]], axis=-1
+                        )
+                        p = jax.lax.conv_general_dilated(
+                            vol, kg, (1, 1), [(1, 1), (1, 1)],
+                            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        )
+                        z = jnp.zeros((1, h, wd, o), jnp.float32)
+                        part = (
+                            jnp.concatenate(
+                                [z, p[:-1, ..., 0:o].astype(jnp.float32)],
+                                axis=0,
+                            )
+                            + p[..., o:2 * o].astype(jnp.float32)
+                            + jnp.concatenate(
+                                [p[1:, ..., 2 * o:3 * o].astype(jnp.float32),
+                                 z],
+                                axis=0,
+                            )
+                        )
+                        acc = part if acc is None else acc + part
+                        continue
                     if paired:
                         vp = jnp.pad(vol, ((1, 1), (0, 0), (1, 1), (0, 0)))
                         kp = _pair_w_kernel(kslc)

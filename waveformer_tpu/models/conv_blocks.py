@@ -129,11 +129,20 @@ def _scan_over_batch(block: nn.Module, x: jax.Array) -> jax.Array:
     tree is identical to the unscanned module.
 
     WFTPU_NO_BATCH_SCAN=1 bypasses the scan entirely (the folded paired
-    conv path handles the batch in one dispatch — see `_Conv3dCore`)."""
-    from waveformer_tpu.models.common import _no_batch_scan
+    conv path handles the batch in one dispatch — see `_Conv3dCore`);
+    WFTPU_UNROLL_BATCH=1 unrolls the batch loop statically (same
+    per-volume program, no scan slice/write-back; params shared because
+    the same bound module instance is invoked per sample)."""
+    from waveformer_tpu.models.common import _no_batch_scan, _unroll_batch
 
     if _no_batch_scan():
         return block(x)
+    if _unroll_batch():
+        b = jax.tree.leaves(x)[0].shape[0]
+        outs = [
+            block(jax.tree.map(lambda t: t[i:i + 1], x)) for i in range(b)
+        ]
+        return jnp.concatenate(outs, axis=0)
     scan = nn.scan(
         lambda mdl, carry, xi: (
             carry,

@@ -107,9 +107,15 @@ dwconv3.defvjp(_fwd, _bwd)
 
 def supported(d: int, h: int, w: int, c: int) -> bool:
     """Shapes the kernel handles: three padded slabs + fp32 accumulator
-    resident in VMEM. Ragged lane dims (e.g. the stage-0 FFN's C=192)
-    are allowed — Mosaic pads to the next 128 multiple; the padding waste
-    is far below XLA's grouped-conv gap."""
+    resident in VMEM. Ragged lane dims are allowed — Mosaic pads to the
+    next 128 multiple; the padding waste is far below XLA's grouped-conv
+    gap. The binding constraint is Mosaic's 16 MiB *scoped* (stack) VMEM
+    limit, not total VMEM: the stack holds the three bf16 input slabs,
+    the bf16 output slab, the fp32 accumulator, and one fp32 slab temp
+    from the `astype` (measured 17.92 MiB at 64³ c=192/cp=256 → compile
+    OOM). Gate against that model with headroom."""
     cp = -(-c // 128) * 128  # lane-padded channel count
-    vmem = 3 * (h + 2) * (w + 2) * cp * 2 + h * w * cp * (4 + 2)
-    return c % 8 == 0 and c >= 96 and vmem <= 96 * 1024 * 1024 and d >= 1
+    slab = (h + 2) * (w + 2) * cp
+    out = h * w * cp
+    stack = 3 * slab * 2 + out * 2 + out * 4 + slab * 4
+    return c % 8 == 0 and c >= 96 and stack <= 14 * 1024 * 1024 and d >= 1
