@@ -53,6 +53,12 @@ def main(argv=None):
                     help="params .npz (default: best_model in logdir/model)")
     ap.add_argument("--split", choices=("test", "val"), default="test")
     ap.add_argument("--no-tta", action="store_true")
+    ap.add_argument(
+        "--sharded", choices=("auto", "on", "off"), default="auto",
+        help="shard whole cases across all visible devices over the mesh "
+             "data axis (Predictor.predict_cases_sharded); 'auto' shards "
+             "when more than one device is visible",
+    )
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for debugging)")
     args = ap.parse_args(argv)
@@ -107,14 +113,37 @@ def main(argv=None):
 
     t_start = time.time()
     items = [ds[i] for i in range(len(ds))]
-    # preprocessed volumes are already (C, D, H, W) — feed them straight in
-    vols = (np.asarray(it["data"]) for it in items)
-    segs = predictor.predict_cases(
-        vols,
-        predict_fn,
-        out_channels=cfg.network.out_channels,
-        properties_list=[it["properties"] for it in items],
+    n_dev = len(jax.devices())
+    use_sharded = args.sharded == "on" or (
+        args.sharded == "auto" and n_dev > 1
     )
+    # preprocessed volumes are already (C, D, H, W) — feed them straight in
+    # (memmap-backed; both paths materialize per case, not up front)
+    if use_sharded:
+        # case-parallel over the mesh `data` axis: each device runs the
+        # full TTA sliding-window program on its own case (the reference's
+        # eval sharding + gather, `light_training/sampler.py:5-48`)
+        from waveformer_tpu.parallel.mesh import MeshSpec, make_mesh
+
+        mesh = make_mesh(MeshSpec(data=n_dev))
+        log.info(f"case-sharded inference over {n_dev} devices")
+        segs = (
+            seg
+            for _, seg in predictor.predict_cases_sharded(
+                [it["data"] for it in items],
+                predict_fn,
+                out_channels=cfg.network.out_channels,
+                properties_list=[it["properties"] for it in items],
+                mesh=mesh,
+            )
+        )
+    else:
+        segs = predictor.predict_cases(
+            (np.asarray(it["data"]) for it in items),
+            predict_fn,
+            out_channels=cfg.network.out_channels,
+            properties_list=[it["properties"] for it in items],
+        )
     t0 = time.time()
     for item, seg in zip(items, segs):
         predictor.save_to_nii(
