@@ -55,7 +55,7 @@ def make_synthetic_dataset(raw_dir: str, n_cases: int, seed: int = 0) -> None:
                    os.path.join(case_dir, "seg.nii.gz"))
 
 
-def write_config(workdir: str, raw_dir: str, epochs: int) -> str:
+def write_config(workdir: str, raw_dir: str, epochs: int, steps: int = 40) -> str:
     cfg = f"""\
 data_dir: "{workdir}/fullres"
 logdir: "{workdir}/logs/"
@@ -66,7 +66,7 @@ split_path: "default_split"
 max_epoch: {epochs}
 batch_size: 2
 val_every: {max(1, epochs // 2)}
-num_steps_per_epoch: 40
+num_steps_per_epoch: {steps}
 val_patches_per_epoch: 8
 roi_size: [32, 32, 32]
 train_process: 2
@@ -114,6 +114,8 @@ def main(argv=None):
     ap.add_argument("--raw-dir", default=None)
     ap.add_argument("--cases", type=int, default=8)
     ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=40,
+                    help="train steps per epoch (lower for smoke runs)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
 
@@ -137,7 +139,7 @@ def main(argv=None):
         "--num-processes", "1",
     ])
 
-    config_path = write_config(workdir, raw_dir, args.epochs)
+    config_path = write_config(workdir, raw_dir, args.epochs, args.steps)
     platform = ["--platform", args.platform] if args.platform else []
 
     from waveformer_tpu.scripts import train

@@ -431,7 +431,7 @@ class TestCTPreprocessors:
         main(["--raw-dir", liver_raw, "--out-dir", out,
               "--dataset-type", "ct", "--num-processes", "1",
               "--foreground-classes", "1", "2"])
-        assert os.path.exists(os.path.join(out, "plan.json"))
+        assert os.path.exists(os.path.join(out, "plans.json"))
         assert os.path.exists(os.path.join(out, "0.npz"))
 
     def test_preprocess_cli_ct_organs(self, atlas_raw, tmp_path):

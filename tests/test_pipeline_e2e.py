@@ -77,7 +77,7 @@ def test_five_step_pipeline(brats_raw, tmp_path):
         "--modalities", *[m + ".nii.gz" for m in MODALITIES],
         "--num-processes", "1",
     ])
-    assert os.path.exists(os.path.join(fullres, "plan.json"))
+    assert os.path.exists(os.path.join(fullres, "plans.json"))
     npzs = [f for f in os.listdir(fullres) if f.endswith(".npz")]
     assert len(npzs) == 5
 

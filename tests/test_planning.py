@@ -170,3 +170,112 @@ class TestPlanExperiment:
             [[5.0, 0.8, 0.8]] * 2, [[12, 32, 32]] * 2
         )["patch_size"]
         assert got == want
+
+
+class TestPlansRoundTrip:
+    """plans.json as a first-class artifact (the reference's plans handler,
+    `light_training/utilities/plans_handling/plans_handler.py`)."""
+
+    def _plan(self):
+        plan = plan_experiment([[1.0, 1.0, 1.0]] * 3, [[155, 240, 240]] * 3)
+        plan["intensities_per_channel"] = {
+            0: {"mean": 1.0, "std": 2.0, "percentile_00_5": -1.0,
+                "percentile_99_5": 5.0, "median": 0.9}
+        }
+        return plan
+
+    def test_save_load_roundtrip(self, tmp_path):
+        from waveformer_tpu.data.planning import Plans
+
+        plans = Plans.from_plan(
+            self._plan(), normalization="ct", foreground_classes=(1, 2)
+        )
+        p = str(tmp_path / "plans.json")
+        plans.save(p)
+        loaded = Plans.load(p)
+        assert loaded.patch_size == plans.patch_size
+        assert loaded.target_spacing == plans.target_spacing
+        assert loaded.normalization == "ct"
+        assert loaded.foreground_classes == (1, 2)
+        # JSON stringifies int channel keys; accessor restores them
+        assert 0 in loaded.intensity_properties
+        assert loaded.intensity_properties[0]["mean"] == 1.0
+        assert loaded.pool_op_kernel_sizes == plans.pool_op_kernel_sizes
+        # unknown keys survive the round trip (JSON stringifies dict keys,
+        # so raw dicts are compared via the typed accessors above)
+        assert loaded.raw["num_pool_per_axis"] == plans.raw["num_pool_per_axis"]
+
+    def test_find_in_data_dir(self, tmp_path):
+        from waveformer_tpu.data.planning import PLANS_FILENAME, Plans
+
+        assert Plans.find(str(tmp_path)) is None
+        Plans.from_plan(self._plan()).save(str(tmp_path / PLANS_FILENAME))
+        found = Plans.find(str(tmp_path))
+        assert found is not None and found.patch_size == (256, 256, 256)
+
+    def test_network_patch_size_divisibility(self):
+        from waveformer_tpu.data.planning import Plans
+
+        plans = Plans(raw={"patch_size": [40, 224, 200]})
+        assert plans.network_patch_size(16) == (48, 224, 208)
+        plans = Plans(raw={"patch_size": [128, 128, 128]})
+        assert plans.network_patch_size(16) == (128, 128, 128)
+
+    def test_apply_to_config(self):
+        """Plan patch size flows into roi_size, network img_size, and the
+        prediction ROI — and the resulting network config passes its own
+        geometry validation."""
+        from waveformer_tpu.config import Config
+        from waveformer_tpu.data.planning import Plans
+
+        cfg = Config()
+        plans = Plans(raw={"patch_size": [112, 160, 130],
+                           "target_spacing": [1.0, 1.0, 1.0]})
+        cfg2 = plans.apply_to_config(cfg)
+        assert cfg2.roi_size == (112, 160, 144)
+        assert cfg2.network.img_size == (112, 160, 144)
+        assert cfg2.prediction.patch_size == (112, 160, 144)
+        # original untouched (frozen dataclasses replaced, not mutated)
+        assert cfg.roi_size == (128, 128, 128)
+
+    def test_preprocessor_kwargs(self):
+        from waveformer_tpu.data.planning import Plans
+
+        plans = Plans.from_plan(
+            {"patch_size": [128] * 3, "target_spacing": [2.0, 0.8, 0.8]},
+            normalization="ct",
+            foreground_classes=(1,),
+        )
+        kw = plans.preprocessor_kwargs()
+        assert kw["out_spacing"] == (2.0, 0.8, 0.8)
+        assert kw["normalization"] == "ct"
+        assert kw["foreground_classes"] == (1,)
+
+    def test_preprocess_script_writes_plans(self, tmp_path):
+        """wtpu-preprocess persists plans.json with the normalization
+        scheme recorded (the artifact wtpu-train consumes)."""
+        import numpy as np
+
+        from waveformer_tpu.data.planning import Plans
+        from waveformer_tpu.scripts.preprocess import main as preprocess_main
+        from waveformer_tpu.utils import nifti
+
+        rng = np.random.default_rng(0)
+        raw = tmp_path / "raw"
+        for case in ("c0", "c1"):
+            d = raw / case
+            d.mkdir(parents=True)
+            vol = rng.standard_normal((20, 20, 16)).astype(np.float32)
+            seg = (vol > 1.2).astype(np.int8)
+            nifti.save(nifti.NiftiImage(data=vol), str(d / "t1.nii.gz"))
+            nifti.save(nifti.NiftiImage(data=seg), str(d / "seg.nii.gz"))
+        out = tmp_path / "out"
+        preprocess_main([
+            "--raw-dir", str(raw), "--out-dir", str(out),
+            "--dataset-type", "mri", "--modalities", "t1.nii.gz",
+            "--num-processes", "1",
+        ])
+        plans = Plans.find(str(out))
+        assert plans is not None
+        assert plans.normalization == "zscore"
+        assert len(plans.patch_size) == 3

@@ -212,6 +212,92 @@ class TestCheckpointPort:
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
+class TestPthFileRoundTrip:
+    """File-based checkpoint port: the untested seam a real
+    `best_model.pth` hits first — torch pickle IO, tensor dtypes,
+    `module.` prefix strip, optimizer entries riding along."""
+
+    def _reference_style_pth(self, src_model, path, nest_module_key=False):
+        """Write a .pth exactly as the reference does
+        (`light_training/utils/files_helper.py:13-32`): DDP-prefixed model
+        state dict + optimizer state + epoch + dice_score. Works on a
+        deepcopy so the shared fixture model is never mutated; returns the
+        stepped copy (the weights the file actually contains)."""
+        import copy
+
+        import torch
+
+        tmodel = copy.deepcopy(src_model)
+        sd = {f"module.{k}": v for k, v in tmodel.state_dict().items()}
+        if nest_module_key:
+            sd = {"module": sd}
+        opt = torch.optim.AdamW(tmodel.parameters(), lr=1e-4)
+        # one real step so the optimizer state has exp_avg/exp_avg_sq tensors
+        loss = sum(p.float().sum() for p in tmodel.parameters())
+        loss.backward()
+        opt.step()
+        torch.save(
+            {
+                "model": sd,
+                "optimizer": opt.state_dict(),
+                "epoch": 7,
+                "dice_score": 0.9137,
+            },
+            str(path),
+        )
+        return tmodel.eval()
+
+    def test_pth_file_logits_parity(self, reference_pair, rng, tmp_path):
+        """torch.save → load_torch_checkpoint → flax logits == torch logits
+        (the optimizer step perturbs the copy's weights before saving, so
+        the parity below proves the FILE's weights round-tripped, not the
+        fixture's)."""
+        import torch
+
+        from waveformer_tpu.utils.torch_port import load_torch_checkpoint
+
+        tmodel, jmodel = reference_pair
+        p = tmp_path / "best_model_0.9137.pth"
+        stepped = self._reference_style_pth(tmodel, p)
+        params = load_torch_checkpoint(str(p), depths=(1, 1, 1, 1), strict=True)
+
+        x = rng.standard_normal((1, 2, 32, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            want = stepped(torch.from_numpy(x)).numpy()
+            fixture_logits = tmodel(torch.from_numpy(x)).numpy()
+        assert not np.allclose(want, fixture_logits), (
+            "optimizer step should have changed the saved weights"
+        )
+        got = jmodel.apply(
+            jax.tree.map(jnp.asarray, params),
+            jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
+        )
+        got = np.asarray(got).transpose(0, 4, 1, 2, 3)
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+    def test_pth_nested_module_key(self, reference_pair, tmp_path):
+        """The `state_dict['module']` layout `_filter_state_dict` handles
+        (`4_predict.py:287-306`) converts too."""
+        from waveformer_tpu.utils.torch_port import load_torch_checkpoint
+
+        tmodel, _ = reference_pair
+        p = tmp_path / "final_model_0.5.pth"
+        self._reference_style_pth(tmodel, p, nest_module_key=True)
+        params = load_torch_checkpoint(str(p), depths=(1, 1, 1, 1), strict=True)
+        assert "params" in params
+
+    def test_pth_bare_state_dict(self, reference_pair, tmp_path):
+        import torch
+
+        from waveformer_tpu.utils.torch_port import load_torch_checkpoint
+
+        tmodel, _ = reference_pair
+        p = tmp_path / "bare.pth"
+        torch.save(tmodel.state_dict(), str(p))
+        params = load_torch_checkpoint(str(p), depths=(1, 1, 1, 1), strict=True)
+        assert "params" in params
+
+
 class TestHFRefinementPort:
     def test_hf_refinement_logits_parity(self, rng):
         """Converter + model parity for the hf_refinement=True variant

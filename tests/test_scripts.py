@@ -58,4 +58,4 @@ class TestPreprocessScript:
             "--raw-dir", str(raw), "--out-dir", str(out),
             "--modalities", "t1c.nii.gz", "--plan-only",
         ])
-        assert (out / "plan.json").exists()
+        assert (out / "plans.json").exists()

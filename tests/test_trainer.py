@@ -116,6 +116,85 @@ class TestTrainerLoop:
         assert int(t2.state.step) == step_after + 2
 
 
+class TestFullVolumeValidation:
+    """Stitch-level validation hook (beyond the reference — its validation
+    is patch-only, `3_train.py:132-148`)."""
+
+    @pytest.mark.slow
+    def test_hook_runs_and_logs(self, tiny_dataset, tmp_path):
+        from waveformer_tpu.data.dataset import MedicalDataset
+
+        ds = MedicalDataset(
+            tiny_dataset, [f"case_{i}" for i in range(3)], unpack=False
+        )
+        logdir = str(tmp_path / "logs_fv")
+        trainer = Trainer(
+            _tiny_model(),
+            max_epochs=1,
+            batch_size=2,
+            val_every=1,
+            num_steps_per_epoch=2,
+            val_patches_per_epoch=2,
+            patch_size=(16, 16, 16),
+            logdir=logdir,
+            num_workers=0,
+            seed=0,
+            full_val_every=1,
+            full_val_cases=2,
+        )
+        trainer.train(ds, ds)
+        with open(os.path.join(logdir, "metrics.jsonl")) as f:
+            tags = {json.loads(l)["tag"] for l in f}
+        assert {"full_tc_dice", "full_wt_dice", "full_et_dice"} <= tags
+
+    def test_full_volume_dice_is_exact_on_perfect_model(self, tmp_path):
+        """With a predictor that returns the GT as logits, full-volume dice
+        must be exactly 1 for present classes — proving the stitch +
+        argmax + conversion path."""
+        import pickle
+
+        from waveformer_tpu.data.dataset import MedicalDataset
+
+        out = tmp_path / "fullres"
+        out.mkdir()
+        rng = np.random.default_rng(1)
+        shape = (24, 20, 28)  # non-bucket-aligned on purpose
+        seg = np.zeros((1, *shape), np.int8)
+        seg[0, 4:12, 5:13, 6:14] = 1
+        seg[0, 7:10, 7:10, 8:11] = 3
+        data = rng.standard_normal((1, *shape)).astype(np.float32)
+        np.savez_compressed(out / "case_0.npz", data=data, seg=seg)
+        with open(out / "case_0.pkl", "wb") as f:
+            pickle.dump({"spacing": [1, 1, 1]}, f)
+        ds = MedicalDataset(str(out), ["case_0"], unpack=False)
+
+        t = Trainer(
+            _tiny_model(), patch_size=(16, 16, 16), logdir=str(tmp_path),
+            num_workers=0, full_val_cases=1,
+        )
+        # perfect prediction → dice exactly 1 for present classes
+        d = t._case_dice(np.asarray(seg[0]), np.asarray(seg[0]))
+        np.testing.assert_allclose(d, [1.0, 1.0, 1.0], atol=1e-6)
+
+        # and the end-to-end hook with a trivially-constant model: a
+        # predictor that always emits class 0 gives dice 0 for present
+        # classes (never NaN) — exercising stitch + argmax on a
+        # non-aligned shape
+        class ZeroModel:
+            out_chans = 4
+
+            def apply(self, params, patches):
+                B = patches.shape[0]
+                logits = jnp.zeros((*patches.shape[:-1], 4))
+                return logits.at[..., 0].set(1.0)
+
+        t.model = ZeroModel()
+        t.state = type("S", (), {"params": {}})()
+        t.writer = None
+        per_class = t.full_volume_validation(ds)
+        np.testing.assert_allclose(per_class, [0.0, 0.0, 0.0], atol=1e-6)
+
+
 class TestCheckpointHelpers:
     def test_save_delete_last(self, tmp_path, rng):
         params = {"params": {"w": rng.standard_normal((3, 3)).astype(np.float32)}}

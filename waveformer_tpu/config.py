@@ -123,20 +123,44 @@ class NetworkConfig:
 
 @dataclass(frozen=True)
 class PredictionConfig:
-    """Inference settings (reference `config.yaml:21-29`)."""
+    """Inference settings (reference `config.yaml:21-29`).
+
+    `tta_orientations` is the first-class serving-protocol knob: the number
+    of mirror orientations averaged per case (8 = the reference's full
+    `mirror_axes=[0,1,2]` protocol, `4_predict.py:208-211`; 1 = no TTA).
+    Measured cost on v5e (BENCH_NOTES.md): 8 orientations ≈ 4.0× the
+    per-case time of 1 — no-TTA is the sanctioned route to the <60 s
+    fleet target at a small accuracy cost. When set, it overrides
+    `mirror_axes`."""
 
     best_model_id: str = "best_model.ckpt"
     patch_size: Tuple[int, int, int] = (128, 128, 128)
     sw_batch_size: int = 2
     overlap: float = 0.5
     mirror_axes: Tuple[int, ...] = (0, 1, 2)
+    tta_orientations: Optional[int] = None
     raw_spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     prediction_save: str = "./prediction_results"
     results_root: str = "prediction_results"
 
+    _TTA_TO_AXES = {1: (), 2: (0,), 4: (0, 1), 8: (0, 1, 2)}
+
     def __post_init__(self):
         object.__setattr__(self, "patch_size", _as_tuple3(self.patch_size))
         object.__setattr__(self, "mirror_axes", tuple(self.mirror_axes))
+        if self.tta_orientations is not None:
+            if self.tta_orientations not in self._TTA_TO_AXES:
+                raise ValueError(
+                    f"tta_orientations must be one of 1/2/4/8, got "
+                    f"{self.tta_orientations}"
+                )
+            object.__setattr__(
+                self, "mirror_axes", self._TTA_TO_AXES[self.tta_orientations]
+            )
+
+    def effective_mirror_axes(self) -> Optional[Tuple[int, ...]]:
+        """The mirror axes to run, or None for no TTA."""
+        return self.mirror_axes if self.mirror_axes else None
 
 
 @dataclass(frozen=True)
@@ -167,6 +191,8 @@ class Config:
     val_every: int = 2
     num_steps_per_epoch: int = 250  # reference `light_training/trainer.py:58`
     val_patches_per_epoch: int = 100  # reference `light_training/trainer.py:59`
+    full_val_every: int = 0  # epochs between full-volume validations (0=off)
+    full_val_cases: int = 2  # whole cases per full-volume validation
     roi_size: Tuple[int, int, int] = (128, 128, 128)
     train_process: int = 12  # data-pipeline worker processes (reference name)
     seed: int = 123

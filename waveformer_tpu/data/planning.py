@@ -24,7 +24,10 @@ are identical because the algorithm is axis-order-equivariant).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -223,3 +226,127 @@ def plan_experiment(
         "conv_kernel_sizes": conv_kernel_sizes,
         "shape_must_be_divisible_by": [int(v) for v in must_be_divisible_by],
     }
+
+
+# --------------------------------------------------------------------------- #
+# plans as a first-class artifact
+# --------------------------------------------------------------------------- #
+
+
+PLANS_FILENAME = "plans.json"
+
+
+@dataclass(frozen=True)
+class Plans:
+    """A persisted dataset plan that round-trips into pipeline configuration.
+
+    The TPU-native counterpart of the reference's plans handler
+    (`light_training/utilities/plans_handling/plans_handler.py`): the
+    preprocessing fingerprint (`DefaultPreprocessor.run_plan`) is saved once
+    as `plans.json` next to the preprocessed data, and training/inference
+    read their patch size, target spacing, and normalization from it instead
+    of hand-copied config values. Unknown keys survive load→save untouched.
+    """
+
+    raw: Dict[str, Any] = field(default_factory=dict)
+
+    # ---------------- persistence ---------------- #
+    @classmethod
+    def from_plan(
+        cls,
+        plan: Dict[str, Any],
+        normalization: Optional[str] = None,
+        foreground_classes: Optional[Sequence[int]] = None,
+    ) -> "Plans":
+        raw = dict(plan)
+        if normalization is not None:
+            raw["normalization"] = normalization
+        if foreground_classes is not None:
+            raw["foreground_classes"] = [int(c) for c in foreground_classes]
+        return cls(raw=raw)
+
+    @classmethod
+    def load(cls, path: str) -> "Plans":
+        with open(path) as f:
+            return cls(raw=json.load(f))
+
+    @classmethod
+    def find(cls, data_dir: str) -> Optional["Plans"]:
+        """Load `<data_dir>/plans.json` if present (legacy name `plan.json`
+        accepted), else None."""
+        for name in (PLANS_FILENAME, "plan.json"):
+            p = os.path.join(data_dir, name)
+            if os.path.exists(p):
+                return cls.load(p)
+        return None
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.raw, f, indent=2)
+
+    # ---------------- typed accessors ---------------- #
+    @property
+    def patch_size(self) -> Tuple[int, ...]:
+        return tuple(int(v) for v in self.raw["patch_size"])
+
+    @property
+    def target_spacing(self) -> Tuple[float, ...]:
+        return tuple(float(v) for v in self.raw["target_spacing"])
+
+    @property
+    def normalization(self) -> Optional[str]:
+        return self.raw.get("normalization")
+
+    @property
+    def foreground_classes(self) -> Tuple[int, ...]:
+        return tuple(int(c) for c in self.raw.get("foreground_classes", ()))
+
+    @property
+    def intensity_properties(self) -> Dict[int, Dict[str, float]]:
+        """Per-channel foreground intensity stats, channel keys as ints
+        (JSON stringifies them)."""
+        raw = self.raw.get("intensities_per_channel", {})
+        return {int(k): v for k, v in raw.items()}
+
+    @property
+    def pool_op_kernel_sizes(self) -> List[List[int]]:
+        return [list(k) for k in self.raw.get("pool_op_kernel_sizes", [])]
+
+    @property
+    def conv_kernel_sizes(self) -> List[List[int]]:
+        return [list(k) for k in self.raw.get("conv_kernel_sizes", [])]
+
+    # ---------------- consumers ---------------- #
+    def network_patch_size(self, divisor: int = 16) -> Tuple[int, ...]:
+        """The plan's patch size rounded UP to the model's divisibility
+        constraint (WaveFormer at patch_size 2 / decom levels (3,2,1,0)
+        needs every axis divisible by 16: grid_i = axis/(2·2^i) must divide
+        2^level_i at each stage)."""
+        return tuple(
+            int(-(-p // divisor) * divisor) for p in self.patch_size
+        )
+
+    def preprocessor_kwargs(self) -> Dict[str, Any]:
+        """Kwargs for `DefaultPreprocessor` subclasses so raw cases at
+        predict time get the exact training-time preprocessing."""
+        out: Dict[str, Any] = {"out_spacing": self.target_spacing}
+        if self.normalization is not None:
+            out["normalization"] = self.normalization
+        if self.foreground_classes:
+            out["foreground_classes"] = self.foreground_classes
+        return out
+
+    def apply_to_config(self, cfg):
+        """Feed the plan into a `waveformer_tpu.config.Config`: training
+        patch size (`roi_size`), the network's `img_size`, and the
+        prediction ROI all take the plan's (model-divisible) patch size —
+        the round-trip the reference performs through
+        `plans_handler.get_network_from_plans`. Returns a new Config."""
+        import dataclasses as _dc
+
+        patch = self.network_patch_size()
+        network = _dc.replace(cfg.network, img_size=patch)
+        prediction = _dc.replace(cfg.prediction, patch_size=patch)
+        return _dc.replace(
+            cfg, roi_size=patch, network=network, prediction=prediction
+        )

@@ -294,6 +294,30 @@ def sample_foreground_locations_regions(
 # --------------------------------------------------------------------------- #
 
 
+def load_canonical_nifti(path: str):
+    """Load a NIfTI and reorient it to RAS voxel order.
+
+    Matches the reference's SimpleITK read path, which applies direction
+    cosines so every case reaches the pipeline in one consistent anatomical
+    frame (`preprocessor_mri.py:58-89`). Returns
+    ``(canonical NiftiImage, source affine, orientation ornt)``; the ornt +
+    source affine let the predictor write results back in the SOURCE voxel
+    geometry (`Predictor.save_to_nii`)."""
+    from waveformer_tpu.utils import nifti
+
+    img = nifti.load(path)
+    can, ornt = nifti.as_canonical(img)
+    return can, img.affine, ornt
+
+
+def _orientation_properties(properties: Dict, can, src_affine, ornt) -> Dict:
+    """Record the source geometry in the nnUNet-style properties dict."""
+    properties["source_affine"] = np.asarray(src_affine, float).tolist()
+    properties["canonical_affine"] = np.asarray(can.affine, float).tolist()
+    properties["orientation"] = np.asarray(ornt, float).tolist()
+    return properties
+
+
 @dataclass
 class DefaultPreprocessor:
     """Offline case preprocessing + dataset planning
@@ -487,27 +511,29 @@ class MultiModalityPreprocessor(DefaultPreprocessor):
         return sorted(os.listdir(root))
 
     def read_data(self, case_name: str):
-        from waveformer_tpu.utils import nifti
-
         case_dir = os.path.join(self.base_dir, self.image_dir, case_name)
         vols = []
         spacing = None
+        geo = None  # (canonical img, source affine, ornt) of first modality
         for fname in self.data_filenames:
-            img = nifti.load(os.path.join(case_dir, fname))
-            # NIfTI axis order is (X, Y, Z); transpose to (Z, Y, X) = (D,H,W)
-            vols.append(np.ascontiguousarray(img.data.T).astype(np.float32))
-            spacing = img.spacing[::-1]
+            can, src_affine, ornt = load_canonical_nifti(
+                os.path.join(case_dir, fname)
+            )
+            if geo is None:
+                geo = (can, src_affine, ornt)
+            # canonical axis order is (X, Y, Z); transpose to (Z,Y,X)=(D,H,W)
+            vols.append(np.ascontiguousarray(can.data.T).astype(np.float32))
+            spacing = can.spacing[::-1]
         data = np.stack(vols)
         seg = None
         if self.seg_filename:
             seg_path = os.path.join(case_dir, self.seg_filename)
             if os.path.exists(seg_path):
-                seg = np.ascontiguousarray(
-                    nifti.load(seg_path).data.T
-                ).astype(np.int8)[None]
+                seg_can, _, _ = load_canonical_nifti(seg_path)
+                seg = np.ascontiguousarray(seg_can.data.T).astype(np.int8)[None]
         properties = {"spacing": list(spacing), "raw_size": list(data.shape[1:]),
                       "name": case_name}
-        return data, seg, properties
+        return data, seg, _orientation_properties(properties, *geo)
 
 
 @dataclass
@@ -532,26 +558,25 @@ class CTPreprocessor(DefaultPreprocessor):
         return names
 
     def read_data(self, case_name: str):
-        from waveformer_tpu.utils import nifti
-
-        img = nifti.load(
+        can, src_affine, ornt = load_canonical_nifti(
             os.path.join(self.base_dir, f"{self.volume_prefix}{case_name}{self.ext}")
         )
-        data = np.ascontiguousarray(img.data.T).astype(np.float32)[None]
+        data = np.ascontiguousarray(can.data.T).astype(np.float32)[None]
         seg = None
         seg_path = os.path.join(
             self.base_dir, f"{self.seg_prefix}{case_name}{self.ext}"
         )
         if os.path.exists(seg_path):
-            seg = np.ascontiguousarray(nifti.load(seg_path).data.T).astype(
-                np.int8
-            )[None]
+            seg_can, _, _ = load_canonical_nifti(seg_path)
+            seg = np.ascontiguousarray(seg_can.data.T).astype(np.int8)[None]
         properties = {
-            "spacing": list(img.spacing[::-1]),
+            "spacing": list(can.spacing[::-1]),
             "raw_size": list(data.shape[1:]),
             "name": case_name,
         }
-        return data, seg, properties
+        return data, seg, _orientation_properties(
+            properties, can, src_affine, ornt
+        )
 
 
 @dataclass
@@ -581,29 +606,32 @@ class OrganMaskPreprocessor(DefaultPreprocessor):
         )
 
     def read_data(self, case_name: str):
-        from waveformer_tpu.utils import nifti
-
         case_dir = os.path.join(self.base_dir, case_name)
-        img = nifti.load(os.path.join(case_dir, self.image_name))
-        data = np.ascontiguousarray(img.data.T).astype(np.float32)[None]
+        can, src_affine, ornt = load_canonical_nifti(
+            os.path.join(case_dir, self.image_name)
+        )
+        data = np.ascontiguousarray(can.data.T).astype(np.float32)[None]
         seg = None
         seg_root = os.path.join(case_dir, self.seg_dir)
         if os.path.isdir(seg_root) and self.seg_list:
             combined = None
             for index, target in enumerate(self.seg_list, start=1):
-                m = np.ascontiguousarray(
-                    nifti.load(os.path.join(seg_root, target)).data.T
+                m_can, _, _ = load_canonical_nifti(
+                    os.path.join(seg_root, target)
                 )
+                m = np.ascontiguousarray(m_can.data.T)
                 if combined is None:
                     combined = np.zeros(m.shape, np.int8)
                 combined[m == 1] = index
             seg = combined[None]
         properties = {
-            "spacing": list(img.spacing[::-1]),
+            "spacing": list(can.spacing[::-1]),
             "raw_size": list(data.shape[1:]),
             "name": case_name,
         }
-        return data, seg, properties
+        return data, seg, _orientation_properties(
+            properties, can, src_affine, ornt
+        )
 
 
 @dataclass

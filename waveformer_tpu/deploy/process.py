@@ -86,7 +86,8 @@ class InferenceAlgorithm:
         os.makedirs(self.output_dir, exist_ok=True)
         out_path = os.path.join(self.output_dir, case_name + ".nii.gz")
         self.predictor.save_to_nii(
-            seg, out_path, spacing=props.get("spacing", (1, 1, 1))
+            seg, out_path, spacing=props.get("spacing", (1, 1, 1)),
+            properties=props,  # write back in the SOURCE voxel geometry
         )
         return out_path
 

@@ -352,16 +352,30 @@ class Predictor:
         path: str,
         spacing: Sequence[float] = (1.0, 1.0, 1.0),
         affine: Optional[np.ndarray] = None,
+        properties: Optional[Dict] = None,
     ) -> None:
-        """NIfTI export with spacing (`prediction.py:209-227` equivalent).
+        """NIfTI export in the SOURCE geometry (`prediction.py:209-227`).
 
-        `seg` is in the pipeline's (D, H, W) = (Z, Y, X) frame; NIfTI stores
-        (X, Y, Z), so the array is transposed and the spacing reversed.
-        """
+        `seg` is in the pipeline's (D, H, W) = (Z, Y, X) canonical frame;
+        NIfTI stores (X, Y, Z), so the array is transposed. When
+        `properties` carries the preprocessing-time orientation record
+        (`orientation` + `source_affine`, written by
+        `data.preprocessing.load_canonical_nifti`), the segmentation is
+        mapped back to the source file's voxel order and written with the
+        source affine — voxel-exact overlay on the raw input, matching the
+        reference's SimpleITK CopyInformation behavior. Otherwise a diagonal
+        affine is fabricated from `spacing` (legacy path for synthetic
+        data without geometry)."""
         from waveformer_tpu.utils import nifti
 
-        if affine is None:
+        arr = seg.astype(np.uint8).T  # (D,H,W) → canonical (X,Y,Z)
+        if properties is not None and "orientation" in properties:
+            arr = nifti.undo_canonical(
+                arr, np.asarray(properties["orientation"])
+            )
+            affine = np.asarray(
+                properties["source_affine"], np.float32
+            )
+        elif affine is None:
             affine = np.diag(list(spacing)[::-1] + [1.0]).astype(np.float32)
-        nifti.save(
-            nifti.NiftiImage(data=seg.astype(np.uint8).T, affine=affine), path
-        )
+        nifti.save(nifti.NiftiImage(data=arr, affine=affine), path)

@@ -552,13 +552,23 @@ class SlidingWindowInferer:
         volume: jax.Array | np.ndarray,
         predictor: Callable,
         out_channels: int,
+        predictor_args: tuple = (),
     ) -> jax.Array:
         """volume: (D, H, W, C) — or (C, D, H, W) for layout="channels_first".
         Returns logits at the ORIGINAL shape (same layout convention).
 
         `predictor` must be a STABLE callable (define it once and reuse):
         the compiled executable is cached per (padded shape, out_channels,
-        predictor identity) — a fresh lambda per call forces a recompile.
+        predictor identity) — a fresh lambda per call forces a recompile
+        AND grows the cache (entries hold a strong reference to their
+        predictor, so a recycled `id()` can never alias a dead callable to
+        a stale executable).
+
+        `predictor_args`: extra pytree arguments threaded through the jit
+        boundary and passed as `predictor(patches, *predictor_args)`.
+        Anything that CHANGES between calls (e.g. training-time parameters)
+        must ride here — a closure would bake its value into the compiled
+        program as a constant at trace time.
         """
         cf = self.layout == "channels_first"
         spatial = tuple(volume.shape[1:] if cf else volume.shape[:3])
@@ -571,10 +581,11 @@ class SlidingWindowInferer:
 
         key = (padded, out_channels, id(predictor))
         if key not in self._compiled:
-            self._compiled[key] = jax.jit(
-                functools.partial(
-                    sliding_window_inference,
-                    predictor=predictor,
+
+            def run(v, args):
+                return sliding_window_inference(
+                    v,
+                    predictor=lambda p: predictor(p, *args),
                     roi_size=self.roi_size,
                     out_channels=out_channels,
                     overlap=self.overlap,
@@ -584,8 +595,11 @@ class SlidingWindowInferer:
                     tta_mode=self.tta_mode,
                     layout=self.layout,
                 )
-            )
-        logits = self._compiled[key](vol)
+
+            # strong ref to `predictor` keeps its id unique for the cache's
+            # lifetime (a GC'd-and-reallocated callable cannot collide)
+            self._compiled[key] = (predictor, jax.jit(run))
+        logits = self._compiled[key][1](vol, predictor_args)
         if cf:
             return logits[:, : spatial[0], : spatial[1], : spatial[2]]
         return logits[: spatial[0], : spatial[1], : spatial[2], :]

@@ -19,7 +19,12 @@ axes, and `NamedSharding` annotations instead of per-rank processes:
                 (equivalence-tested in tests/test_tensor_sharding.py).
 
 Multi-host init is `jax.distributed.initialize()` (one process per host) —
-no torchrun-style re-exec, no rendezvous env plumbing.
+no torchrun-style re-exec, no rendezvous env plumbing. The live path is
+proven by `tests/test_multihost.py`: two OS processes (4 virtual CPU devices
+each) rendezvous through a coordinator, train on one 8-device `data` mesh,
+and reproduce the single-controller losses bit-for-bit. On real hardware the
+same call discovers the TPU topology; per-process batch shards enter through
+`jax.make_array_from_callback` exactly as in that test.
 """
 
 from __future__ import annotations

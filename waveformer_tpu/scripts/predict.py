@@ -52,7 +52,14 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default=None,
                     help="params .npz (default: best_model in logdir/model)")
     ap.add_argument("--split", choices=("test", "val"), default="test")
-    ap.add_argument("--no-tta", action="store_true")
+    ap.add_argument(
+        "--tta", type=int, choices=(1, 2, 4, 8), default=None,
+        help="mirror-TTA orientations per case (protocol knob; overrides "
+        "config). 8 = reference parity protocol (~4.0x per-case cost on "
+        "v5e, BENCH_NOTES.md); 1 = no TTA (the <60 s serving mode)",
+    )
+    ap.add_argument("--no-tta", action="store_true",
+                    help="alias for --tta 1")
     ap.add_argument(
         "--sharded", choices=("auto", "on", "off"), default="auto",
         help="shard whole cases across all visible devices over the mesh "
@@ -99,11 +106,23 @@ def main(argv=None):
     params = jax.tree.map(jnp.asarray, load_params_npz(ckpt_path))
 
     predict_fn = lambda patches: model.apply(params, patches)
+    pred_cfg = cfg.prediction
+    if args.no_tta:
+        args.tta = 1
+    if args.tta is not None:
+        import dataclasses
+
+        pred_cfg = dataclasses.replace(pred_cfg, tta_orientations=args.tta)
+    mirror_axes = pred_cfg.effective_mirror_axes()
+    log.info(
+        f"TTA protocol: {2 ** len(mirror_axes or ())} orientation(s) "
+        f"(mirror_axes={mirror_axes})"
+    )
     inferer = SlidingWindowInferer(
         roi_size=cfg.prediction.patch_size,
         sw_batch_size=cfg.prediction.sw_batch_size,
         overlap=cfg.prediction.overlap,
-        mirror_axes=None if args.no_tta else cfg.prediction.mirror_axes,
+        mirror_axes=mirror_axes,
         layout="channels_first",
         tta_mode="patch",
     )
@@ -150,6 +169,7 @@ def main(argv=None):
             seg,
             os.path.join(out_dir, item["name"] + ".nii.gz"),
             spacing=cfg.prediction.raw_spacing,
+            properties=item["properties"],
         )
         log.info(f"{item['name']}: {time.time() - t0:.1f}s")
         t0 = time.time()

@@ -104,8 +104,16 @@ def main(argv=None):
     pp = build_preprocessor(args, raw_dir)
     plan = pp.run_plan()
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "plan.json"), "w") as f:
-        json.dump(plan, f, indent=2)
+    # persist as a first-class artifact that wtpu-train round-trips
+    # (reference plans handler, `light_training/utilities/plans_handling/`)
+    from waveformer_tpu.data.planning import PLANS_FILENAME, Plans
+
+    plans = Plans.from_plan(
+        plan,
+        normalization=pp.normalization,
+        foreground_classes=pp.foreground_classes,
+    )
+    plans.save(os.path.join(out_dir, PLANS_FILENAME))
     print(json.dumps(plan, indent=2))
     if args.plan_only:
         return

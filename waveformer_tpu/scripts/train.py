@@ -50,6 +50,13 @@ def main(argv=None):
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for debugging)")
+    ap.add_argument(
+        "--plans", default=None,
+        help="plans.json written by wtpu-preprocess; its patch size "
+        "configures roi_size/img_size (the reference's plans-handler "
+        "round-trip). Pass 'auto' to pick up <data_dir>/plans.json when "
+        "present; default: config values only",
+    )
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -61,6 +68,23 @@ def main(argv=None):
     setup_logging_from_config(cfg.logging)
     log = get_logger()
     set_determinism(cfg.seed)
+
+    if args.plans:
+        from waveformer_tpu.data.planning import Plans
+
+        plans = (
+            Plans.find(cfg.data_dir)
+            if args.plans == "auto"
+            else Plans.load(args.plans)
+        )
+        if plans is not None and "patch_size" in plans.raw:
+            cfg = plans.apply_to_config(cfg)
+            log.info(
+                f"plans: patch {plans.patch_size} -> network "
+                f"{cfg.network.img_size}, spacing {plans.target_spacing}"
+            )
+        elif args.plans != "auto":
+            ap.error(f"--plans {args.plans}: no usable patch_size")
 
     train_ds, val_ds, _ = get_train_val_test_loader_from_train(
         cfg.data_dir,
@@ -87,6 +111,8 @@ def main(argv=None):
         logdir=cfg.logdir,
         model_name=cfg.model_name,
         num_workers=cfg.train_process,
+        full_val_every=cfg.full_val_every,
+        full_val_cases=cfg.full_val_cases,
         label_mode=cfg.extra.get("label_mode", "brats"),
         num_classes=cfg.network.out_channels,
         seed=cfg.seed,

@@ -80,6 +80,15 @@ class Trainer:
         num_classes: int = 4,
         seed: int = 42,
         resume: bool = True,
+        # Full-volume validation: every `full_val_every` epochs, run the
+        # real sliding-window predictor on `full_val_cases` whole validation
+        # volumes and log stitch-level dice. Patch-level dice
+        # (`validation_step`) cannot see stitching/blending regressions;
+        # the reference has no equivalent (its `validation_step` is
+        # patch-only, `3_train.py:132-148`). 0 disables (default — each
+        # distinct case shape compiles its own sliding-window program).
+        full_val_every: int = 0,
+        full_val_cases: int = 2,
     ):
         self.model = model
         self.max_epochs = max_epochs
@@ -118,6 +127,9 @@ class Trainer:
         self.ckpt = CheckpointManager(os.path.join(logdir, "model"))
         self._train_step = None
         self._eval_step = None
+        self.full_val_every = full_val_every
+        self.full_val_cases = full_val_cases
+        self._full_val_inferer = None
 
     # ------------------------------------------------------------------ #
     # hooks (reference `trainer.py:483-493`)
@@ -264,6 +276,11 @@ class Trainer:
                 if (self.epoch + 1) % self.val_every == 0:
                     dices = self._validate(val_loader)
                     self.validation_end(dices)
+                if (
+                    self.full_val_every
+                    and (self.epoch + 1) % self.full_val_every == 0
+                ):
+                    self.full_volume_validation(val_ds)
         finally:
             train_loader.shutdown()
             if self.writer is not None:
@@ -303,6 +320,89 @@ class Trainer:
         counts = np.sum(~np.isnan(all_vals), axis=0)
         sums = np.nansum(all_vals, axis=0)
         return np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+
+    # ------------------------------------------------------------------ #
+    def full_volume_validation(
+        self, val_ds, max_cases: Optional[int] = None
+    ) -> Optional[np.ndarray]:
+        """Stitch-level validation: sliding-window inference on whole
+        preprocessed validation volumes with the CURRENT parameters,
+        per-class full-volume dice logged as `full_{tc,wt,et}_dice`.
+
+        Catches regressions the patch dice cannot (window stitching,
+        Gaussian blending, bucket padding). No TTA (cost control); current
+        params are threaded through the jit boundary via `predictor_args`,
+        never closed over (a closure would freeze them into the compiled
+        program). Returns per-class dice means, or None if no cases ran."""
+        from waveformer_tpu.inference.sliding_window import (
+            SlidingWindowInferer,
+        )
+
+        n = min(len(val_ds), max_cases or self.full_val_cases)
+        if n <= 0:
+            return None
+        if self._full_val_inferer is None:
+            self._full_val_inferer = SlidingWindowInferer(
+                roi_size=self.patch_size,
+                sw_batch_size=2,
+                overlap=0.5,
+                mirror_axes=None,
+                layout="channels_last",
+            )
+            self._full_val_apply = lambda patches, params: self.model.apply(
+                params, patches
+            )
+        dev0 = jax.devices()[0]
+        params = jax.tree.map(
+            lambda x: jax.device_put(x, dev0), self.state.params
+        )
+        per_case: List[np.ndarray] = []
+        t0 = time.time()
+        for i in range(n):
+            item = val_ds[i]
+            data = np.asarray(item["data"], np.float32)  # (C, D, H, W)
+            seg_gt = np.asarray(item["seg"])  # (1, D, H, W)
+            vol = data.transpose(1, 2, 3, 0)  # channels-last
+            logits = self._full_val_inferer(
+                vol,
+                self._full_val_apply,
+                self.num_classes,
+                predictor_args=(params,),
+            )
+            pred = np.asarray(jnp.argmax(logits, axis=-1))
+            per_case.append(self._case_dice(pred, seg_gt[0]))
+        vals = np.stack(per_case)  # (n, K) with NaNs for absent classes
+        counts = np.sum(~np.isnan(vals), axis=0)
+        sums = np.nansum(vals, axis=0)
+        per_class = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+        if self.label_mode == "brats":
+            names = ["tc", "wt", "et"][: len(per_class)]
+        else:
+            names = [f"class{c}" for c in range(1, len(per_class) + 1)]
+        for name, v in zip(names, per_class):
+            self.log_scalar(f"full_{name}_dice", float(v), self.epoch)
+        self.log.info(
+            f"epoch {self.epoch}: full-volume dice "
+            + " ".join(f"{k}={v:.4f}" for k, v in zip(names, per_class))
+            + f" ({n} cases, {time.time() - t0:.1f}s)"
+        )
+        return per_class
+
+    def _case_dice(self, pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
+        """Per-class dice of one full volume, NaN where a class is absent
+        from both (the reference's filtering convention)."""
+        pred_c = np.asarray(
+            self.convert_labels(jnp.asarray(pred)[None, ..., None])
+        )[0]
+        gt_c = np.asarray(
+            self.convert_labels(jnp.asarray(gt, jnp.int32)[None, ..., None])
+        )[0]
+        axes = tuple(range(1, pred_c.ndim))
+        inter = np.sum(pred_c * gt_c, axis=axes)
+        ps = np.sum(pred_c, axis=axes)
+        gs = np.sum(gt_c, axis=axes)
+        both_empty = (ps == 0) & (gs == 0)
+        return np.where(both_empty, np.nan, 2 * inter / (ps + gs + 1e-8))
 
     # ------------------------------------------------------------------ #
     def validation_single_gpu(

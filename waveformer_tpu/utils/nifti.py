@@ -10,6 +10,7 @@ layout: 348-byte header, vox_offset 352, Fortran-ordered data.
 from __future__ import annotations
 
 import gzip
+import math
 import struct
 from dataclasses import dataclass, field
 from typing import Tuple
@@ -61,7 +62,10 @@ def load(path: str) -> NiftiImage:
         vox_offset = int(struct.unpack_from("<f", hdr, 108)[0])
         scl_slope = struct.unpack_from("<f", hdr, 112)[0]
         scl_inter = struct.unpack_from("<f", hdr, 116)[0]
+        qform_code = struct.unpack_from("<h", hdr, 252)[0]
         sform_code = struct.unpack_from("<h", hdr, 254)[0]
+        quatern = struct.unpack_from("<3f", hdr, 256)  # b, c, d
+        qoffset = struct.unpack_from("<3f", hdr, 268)  # x, y, z
         srow = np.asarray(
             struct.unpack_from("<12f", hdr, 280), np.float32
         ).reshape(3, 4)
@@ -78,11 +82,144 @@ def load(path: str) -> NiftiImage:
     affine = np.eye(4, dtype=np.float32)
     if sform_code > 0:
         affine[:3, :] = srow
+    elif qform_code > 0:
+        affine = _qform_to_affine(quatern, qoffset, pixdim).astype(np.float32)
     else:
         # fall back to pixdim spacing on the diagonal
         for i in range(3):
             affine[i, i] = pixdim[1 + i] if pixdim[1 + i] != 0 else 1.0
     return NiftiImage(data=data, affine=affine)
+
+
+def _qform_to_affine(quatern, qoffset, pixdim) -> np.ndarray:
+    """NIfTI-1 qform (quaternion + qfac) → 4×4 affine.
+
+    Standard NIfTI-1 semantics (nifti1.h `quatern_to_mat44`): the rotation
+    comes from the unit quaternion (a, b, c, d) with a reconstructed from
+    b/c/d, columns scaled by pixdim[1:4], and the third column additionally
+    multiplied by qfac = pixdim[0] (0 → +1)."""
+    b, c, d = (float(q) for q in quatern)
+    a2 = 1.0 - (b * b + c * c + d * d)
+    a = math.sqrt(a2) if a2 > 0 else 0.0
+    R = np.array(
+        [
+            [a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)],
+            [2 * (b * c + a * d), a * a + c * c - b * b - d * d, 2 * (c * d - a * b)],
+            [2 * (b * d - a * c), 2 * (c * d + a * b), a * a + d * d - b * b - c * c],
+        ],
+        dtype=np.float64,
+    )
+    qfac = float(pixdim[0]) if pixdim[0] != 0 else 1.0
+    scale = [
+        pixdim[1] if pixdim[1] != 0 else 1.0,
+        pixdim[2] if pixdim[2] != 0 else 1.0,
+        (pixdim[3] if pixdim[3] != 0 else 1.0) * qfac,
+    ]
+    affine = np.eye(4)
+    affine[:3, :3] = R * np.asarray(scale)[None, :]
+    affine[:3, 3] = qoffset
+    return affine
+
+
+# --------------------------------------------------------------------------- #
+# orientation (RAS canonicalization)
+#
+# The reference reads volumes through SimpleITK, which applies direction
+# cosines (`light_training/preprocessing/preprocessors/preprocessor_mri.py:58-89`)
+# so every case reaches the pipeline in a consistent anatomical axis order.
+# These helpers provide the same guarantee: `io_orientation` extracts the
+# closest axis-aligned orientation from the affine, `as_canonical` reorients
+# the voxel array to RAS voxel order (updating the affine), and
+# `inverse_orientation`/`apply_orientation` map predictions back to the
+# source voxel order so `save_to_nii` can write in the SOURCE geometry
+# (`light_training/prediction.py:209-227`).
+# --------------------------------------------------------------------------- #
+
+
+def io_orientation(affine: np.ndarray) -> np.ndarray:
+    """Per-voxel-axis (world_axis, direction) closest to the affine.
+
+    Returns a (3, 2) array `ornt` where `ornt[j] = (w, s)` means voxel axis
+    j of the array most strongly aligns with world axis w (0=R/L, 1=A/P,
+    2=S/I), pointing in the +w direction when s=+1. Greedy max-|cosine|
+    assignment, each world axis used once."""
+    R = np.asarray(affine, np.float64)[:3, :3].copy()
+    norms = np.linalg.norm(R, axis=0)
+    norms[norms == 0] = 1.0
+    Q = R / norms
+    ornt = np.zeros((3, 2))
+    scratch = np.abs(Q).copy()
+    for _ in range(3):
+        w, j = np.unravel_index(np.argmax(scratch), scratch.shape)
+        ornt[j] = (w, 1.0 if Q[w, j] >= 0 else -1.0)
+        scratch[w, :] = -1.0
+        scratch[:, j] = -1.0
+    return ornt
+
+
+def apply_orientation(arr: np.ndarray, ornt: np.ndarray) -> np.ndarray:
+    """Reorder a 3-D array's axes per `ornt`: flip axes with direction −1,
+    then transpose so array axis k holds what pointed along world axis k."""
+    ornt = np.asarray(ornt)
+    out = np.asarray(arr)
+    for j in range(3):
+        if ornt[j, 1] < 0:
+            out = np.flip(out, axis=j)
+    perm = [0, 0, 0]
+    for j in range(3):
+        perm[int(ornt[j, 0])] = j
+    return out.transpose(perm)
+
+
+def inverse_orientation(ornt: np.ndarray) -> np.ndarray:
+    """The orientation that undoes `apply_orientation(· , ornt)`."""
+    ornt = np.asarray(ornt)
+    inv = np.zeros_like(ornt)
+    for j in range(3):
+        w = int(ornt[j, 0])
+        inv[w] = (j, ornt[j, 1])
+    return inv
+
+
+def orientation_affine(ornt: np.ndarray, reoriented_shape) -> np.ndarray:
+    """4×4 voxel-coordinate map: reoriented indices → original indices.
+
+    For original voxel coords x and reoriented coords x′:
+    ``x[j] = s · x′[w] + c_j`` with (w, s) = ornt[j] and c_j = n_j − 1 on
+    flipped axes (n_j = original extent = reoriented extent along w). The
+    reoriented image's affine is therefore ``affine @ orientation_affine``."""
+    ornt = np.asarray(ornt)
+    T = np.eye(4)
+    M = np.zeros((3, 3))
+    c = np.zeros(3)
+    for j in range(3):
+        w = int(ornt[j, 0])
+        s = ornt[j, 1]
+        M[j, w] = s
+        if s < 0:
+            c[j] = int(reoriented_shape[w]) - 1
+    T[:3, :3] = M
+    T[:3, 3] = c
+    return T
+
+
+def as_canonical(img: NiftiImage) -> Tuple[NiftiImage, np.ndarray]:
+    """Reorient to RAS voxel order; returns (reoriented image, ornt used).
+
+    The returned image's affine maps ITS voxel indices to the same world
+    coordinates as the source — world geometry is preserved exactly; only
+    the in-memory axis order/direction changes."""
+    ornt = io_orientation(img.affine)
+    data = apply_orientation(img.data, ornt)
+    affine = np.asarray(img.affine, np.float64) @ orientation_affine(
+        ornt, data.shape
+    )
+    return NiftiImage(data=data, affine=affine.astype(np.float32)), ornt
+
+
+def undo_canonical(arr: np.ndarray, ornt: np.ndarray) -> np.ndarray:
+    """Map a canonical-order (RAS) voxel array back to source voxel order."""
+    return apply_orientation(arr, inverse_orientation(np.asarray(ornt)))
 
 
 def save(img: NiftiImage, path: str) -> None:

@@ -239,10 +239,23 @@ def convert_projection_head(
 
 
 def load_torch_checkpoint(path: str, **kwargs) -> Dict[str, Any]:
-    """Load a reference `.pth`/`.pt` checkpoint file and convert it."""
+    """Load a reference `.pth`/`.pt` checkpoint file and convert it.
+
+    Handles every layout the reference writes/reads:
+      * training-time dicts `{'model': sd, 'optimizer': …, 'epoch': …,
+        'dice_score': …}` (`light_training/utils/files_helper.py:13-32`,
+        `3_train.py:177-188`) — optimizer/scheduler entries are ignored;
+      * a nested `state_dict['module']` sub-dict and per-key `module.`
+        prefixes from DDP (`4_predict.py:287-306` `_filter_state_dict`);
+      * a bare `state_dict`.
+    """
     import torch
 
     raw = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(raw, dict) and "model" in raw:
         raw = raw["model"]
+    if isinstance(raw, dict) and "module" in raw and not hasattr(
+        raw["module"], "shape"
+    ):
+        raw = raw["module"]
     return convert_state_dict(raw, **kwargs)
