@@ -23,6 +23,7 @@ import json
 
 
 V5E_BF16_PEAK_TFLOPS = 197.0  # TPU v5e (v5litepod) per-chip bf16 peak
+V5E_HBM_PEAK_GBPS = 819.0  # v5e per-chip HBM bandwidth
 
 
 def flagship_model(batch: int):
@@ -41,23 +42,28 @@ def flagship_model(batch: int):
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 4, 128, 128, 128), jnp.float32)
     )
-    fwd = lambda p, v: model.apply(p, v)
+    # array arg first: device_time perturbs args[0] to defeat DCE
+    fwd = lambda v, p: model.apply(p, v)
     return fwd, params, x
 
 
-def cost_analysis_flops(fwd, params, x):
+def cost_analysis_flops(fwd, x, params):
     import jax
 
     try:
-        compiled = jax.jit(fwd).lower(params, x).compile()
+        compiled = jax.jit(fwd).lower(x, params).compile()
         analysis = compiled.cost_analysis()
         if isinstance(analysis, list):
             analysis = analysis[0]
         if analysis and "flops" in analysis:
-            return float(analysis["flops"]), "xla_cost_analysis"
+            return (
+                float(analysis["flops"]),
+                float(analysis.get("bytes accessed", float("nan"))),
+                "xla_cost_analysis",
+            )
     except Exception as e:  # backend without cost analysis
         print(f"# cost_analysis unavailable: {e}")
-    return None, None
+    return None, None, None
 
 
 def main():
@@ -67,37 +73,54 @@ def main():
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
+    import os
+
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    cache = os.path.expanduser("~/.cache/wftpu_xla")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from waveformer_tpu.utils.profiling import device_time
 
     fwd, params, x = flagship_model(args.batch)
 
-    flops, source = cost_analysis_flops(fwd, params, x)
+    flops, bytes_acc, source = cost_analysis_flops(fwd, x, params)
     if flops is not None:
         flops_per_patch = flops / args.batch
+        bytes_per_patch = bytes_acc / args.batch
     else:
-        # analytic fallback: counted once with XLA cost analysis on CPU
-        # (2026-08-19, B=1 cf flagship) — regenerate with --platform cpu
         flops_per_patch = float("nan")
+        bytes_per_patch = float("nan")
         source = "unavailable"
 
-    sec = device_time(fwd, params, x, iters=args.iters)
+    sec = device_time(fwd, x, params, iters=args.iters)
     ms_per_patch = sec * 1e3 / args.batch
     tflops = (flops_per_patch / (sec / args.batch)) / 1e12
     mfu = tflops / V5E_BF16_PEAK_TFLOPS
+    gbps = (bytes_per_patch / (sec / args.batch)) / 1e9
+
+    # the dominant GEMMs emit O=48 output channels on 128-wide MXU lanes:
+    # the achievable matmul peak for THIS decomposition is 48/128 of peak
+    lane_peak = V5E_BF16_PEAK_TFLOPS * 48.0 / 128.0
 
     print(json.dumps({
         "flops_per_patch": flops_per_patch,
+        "bytes_accessed_per_patch": bytes_per_patch,
         "flops_source": source,
         "batch": args.batch,
         "ms_per_patch": round(ms_per_patch, 2),
         "achieved_tflops": round(tflops, 2),
         "v5e_bf16_peak_tflops": V5E_BF16_PEAK_TFLOPS,
         "mfu_pct": round(100 * mfu, 2),
+        "lane_adjusted_peak_tflops": round(lane_peak, 1),
+        "lane_adjusted_mfu_pct": round(100 * tflops / lane_peak, 2),
+        "achieved_hbm_gbps": round(gbps, 1),
+        "v5e_hbm_peak_gbps": V5E_HBM_PEAK_GBPS,
+        "hbm_util_pct": round(100 * gbps / V5E_HBM_PEAK_GBPS, 2),
     }, indent=2))
 
 
