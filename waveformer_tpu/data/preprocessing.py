@@ -122,6 +122,21 @@ class Rescale01Normalization:
         return (image - lo) / max(hi - lo, 1e-8)
 
 
+class RGBTo01Normalization:
+    """uint8 RGB scaled to [0, 1] (`:114-125`); rejects non-RGB ranges."""
+
+    def __init__(self, *a, **k):
+        pass
+
+    def run(self, image, seg):
+        if image.min() < 0 or image.max() > 255:
+            raise ValueError(
+                "RGB normalization expects uint8-range values in [0, 255]; "
+                f"got [{image.min()}, {image.max()}]"
+            )
+        return image.astype(np.float32) / 255.0
+
+
 class NoNormalization:
     def __init__(self, *a, **k):
         pass
@@ -332,6 +347,7 @@ class DefaultPreprocessor:
         "zscore": ZScoreNormalization,
         "ct": CTNormalization,
         "rescale01": Rescale01Normalization,
+        "rgb": RGBTo01Normalization,
         "none": NoNormalization,
     }
 
