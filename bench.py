@@ -67,20 +67,32 @@ def main():
     # pipelined multi-case stream: case i+1's upload/dispatch overlaps case
     # i's device compute (the production serving path; per-case latency is
     # the predict_case path measured in BENCH_NOTES.md)
+    def stream_rate(vols):
+        t0 = time.time()
+        for i, seg in enumerate(predictor.predict_cases(vols, predict, out_channels=4)):
+            assert seg.shape == vols[i].shape[1:]
+        return len(vols) / (time.time() - t0)
+
     n_cases = 4
     vols = [
         rng.standard_normal(shape).astype(np.float32) for _ in range(n_cases)
     ]
-    # best of two streams: the first stream after compile still pays one-off
-    # dispatch/link warmup over the tunneled device (~8% observed); steady
-    # serving throughput is the warm stream
-    cases_per_s = 0.0
-    for _ in range(2):
-        t0 = time.time()
-        for seg in predictor.predict_cases(vols, predict, out_channels=4):
-            assert seg.shape == shape[1:]
-        dt = (time.time() - t0) / n_cases
-        cases_per_s = max(cases_per_s, 1.0 / dt)
+    # 3 streams: the first after compile pays one-off dispatch/link warmup
+    # over the tunneled device (~8% observed); the headline is the MEAN of
+    # the two warm streams (steady serving throughput), not a max.
+    rates = [stream_rate(vols) for _ in range(3)]
+    cases_per_s = (rates[1] + rates[2]) / 2.0
+
+    # second bucket: real post-crop BraTS shapes span buckets — this one
+    # pads to (128, 192, 128) (2 patch positions instead of 8) and pays its
+    # own stitch-program compile, exposing per-bucket variance the single
+    # 192^3 headline shape would hide
+    shape2 = (4, 120, 160, 126)
+    vols2 = [
+        rng.standard_normal(shape2).astype(np.float32) for _ in range(n_cases)
+    ]
+    stream_rate(vols2)  # compile + warmup
+    bucket2_rate = stream_rate(vols2)
 
     baseline = 1.92  # cases/s, BASELINE.md (no-TTA A100 anchor)
     print(
@@ -90,6 +102,9 @@ def main():
                 "value": round(cases_per_s, 4),
                 "unit": "cases/sec/chip (128^3 roi, overlap 0.5, 8x mirror TTA, bf16)",
                 "vs_baseline": round(cases_per_s / baseline, 4),
+                "streams": [round(r, 4) for r in rates],
+                "bucket_192_cases_per_s": round(cases_per_s, 4),
+                "bucket_128x192x128_cases_per_s": round(bucket2_rate, 4),
             }
         )
     )

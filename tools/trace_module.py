@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def top_ops(trace_dir, n=24):
+def top_ops(trace_dir, n=24, category=""):
     files = glob.glob(
         os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
     )
@@ -51,10 +51,18 @@ def top_ops(trace_dir, n=24):
             longn[name] = ln
         total += dur
     print(f"total device time {total:.2f} ms across {len(agg)} ops")
-    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:n]:
+    by_cat = collections.defaultdict(float)
+    for name, dur in agg.items():
+        by_cat[cat[name] or "?"] += dur
+    for c, dur in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        print(f"  category {c:30s} {dur:9.3f} ms")
+    items = sorted(agg.items(), key=lambda kv: -kv[1])
+    if category:
+        items = [kv for kv in items if category in cat[kv[0]]]
+    for name, dur in items[:n]:
         print(f"{dur:9.3f} ms  [{cat[name][:24]:24s}] {name[:60]}")
         if name in longn:
-            print(f"             {longn[name][:240]}")
+            print(f"             {longn[name][:360]}")
 
 
 def main():
@@ -62,6 +70,8 @@ def main():
     ap.add_argument("--which", default="up4")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--category", default="", help="filter top list by hlo_category substring")
+    ap.add_argument("--top", type=int, default=24)
     args = ap.parse_args()
 
     path = os.path.expanduser("~/.cache/wftpu_xla")
@@ -124,7 +134,7 @@ def main():
     jax.tree.leaves(out)[0].block_until_ready()
     jax.profiler.stop_trace()
     print(f"[{args.which}] trace in {tmp}; per-rep divide by {args.reps}")
-    top_ops(tmp)
+    top_ops(tmp, n=args.top, category=args.category)
 
 
 if __name__ == "__main__":

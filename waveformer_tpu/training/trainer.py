@@ -295,18 +295,34 @@ class Trainer:
         }
         return shard_batch(self.mesh, out)
 
+    # How many steps the host may run ahead of the device before blocking
+    # on a loss readback. float(loss) every step costs one ~40 ms
+    # host↔device round trip AND serializes augmentation against device
+    # compute; a small window keeps host/device overlapped while bounding
+    # in-flight device batches (each enqueued batch holds HBM).
+    loss_readback_window: int = 4
+
     def _train_epoch(self, loader) -> float:
         losses = []
+        pending: List = []  # [(global_step, device loss array)]
+
+        def drain(limit: int):
+            while len(pending) > limit:
+                s, dev = pending.pop(0)
+                loss = float(dev)
+                losses.append(loss)
+                self.log_scalar("training_loss", loss, s)
+
         for batch in loader:
             b = self._device_batch(batch)
             rng = jax.random.fold_in(
                 jax.random.PRNGKey(self.seed), self.global_step
             )
             self.state, metrics = self._train_step(self.state, b, rng)
-            loss = float(metrics["loss"])
-            losses.append(loss)
-            self.log_scalar("training_loss", loss, self.global_step)
+            pending.append((self.global_step, metrics["loss"]))
             self.global_step += 1
+            drain(self.loss_readback_window)
+        drain(0)
         return float(np.mean(losses)) if losses else 0.0
 
     def _validate(self, loader) -> np.ndarray:
