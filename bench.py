@@ -83,17 +83,10 @@ def main():
     rates = [stream_rate(vols) for _ in range(3)]
     cases_per_s = (rates[1] + rates[2]) / 2.0
 
-    # second bucket: real post-crop BraTS shapes span buckets — this one
-    # pads to (128, 192, 128) (2 patch positions instead of 8) and pays its
-    # own stitch-program compile, exposing per-bucket variance the single
-    # 192^3 headline shape would hide
-    shape2 = (4, 120, 160, 126)
-    vols2 = [
-        rng.standard_normal(shape2).astype(np.float32) for _ in range(n_cases)
-    ]
-    stream_rate(vols2)  # compile + warmup
-    bucket2_rate = stream_rate(vols2)
-
+    # HEADLINE FIRST. Round 4's driver run timed out (rc=124, no number
+    # captured) because a second-bucket measurement compiled a fresh stitch
+    # program after the warm streams but before the print. Nothing that can
+    # compile or spend unbounded time may precede this line.
     baseline = 1.92  # cases/s, BASELINE.md (no-TTA A100 anchor)
     print(
         json.dumps(
@@ -103,11 +96,33 @@ def main():
                 "unit": "cases/sec/chip (128^3 roi, overlap 0.5, 8x mirror TTA, bf16)",
                 "vs_baseline": round(cases_per_s / baseline, 4),
                 "streams": [round(r, 4) for r in rates],
-                "bucket_192_cases_per_s": round(cases_per_s, 4),
-                "bucket_128x192x128_cases_per_s": round(bucket2_rate, 4),
             }
-        )
+        ),
+        flush=True,
     )
+
+    # Optional second bucket (WFTPU_BENCH_EXTRA=1): real post-crop BraTS
+    # shapes span buckets — (4,120,160,126) pads to (128,192,128) (2 patch
+    # positions instead of 8) and pays its own stitch-program compile,
+    # exposing per-bucket variance the 192^3 headline shape would hide.
+    # Gated off by default so the driver run stays inside its budget.
+    if os.environ.get("WFTPU_BENCH_EXTRA"):
+        shape2 = (4, 120, 160, 126)
+        vols2 = [
+            rng.standard_normal(shape2).astype(np.float32)
+            for _ in range(n_cases)
+        ]
+        stream_rate(vols2)  # compile + warmup
+        bucket2_rate = stream_rate(vols2)
+        print(
+            json.dumps(
+                {
+                    "metric": "bucket_128x192x128_cases_per_s",
+                    "value": round(bucket2_rate, 4),
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--aug", default="train_fast", choices=["train", "train_fast"])
     ap.add_argument("--device-only", action="store_true",
                     help="chained jitted steps on one resident batch (no pipeline)")
+    ap.add_argument("--window", type=int, default=4,
+                    help="Trainer.loss_readback_window (0 = sync float(loss) every step)")
+    ap.add_argument("--remat", action="store_true",
+                    help="use_checkpoint=True (block + full-res conv remat)")
     args = ap.parse_args()
 
     cache = os.path.expanduser("~/.cache/wftpu_xla")
@@ -73,7 +77,10 @@ def main():
     from waveformer_tpu.training.trainer import Trainer
 
     cfg = Config()
-    model = create_waveformer(cfg.network.model_kwargs(), dtype=jnp.bfloat16)
+    kw = cfg.network.model_kwargs()
+    if args.remat:
+        kw["use_checkpoint"] = True
+    model = create_waveformer(kw, dtype=jnp.bfloat16)
 
     if args.device_only:
         from waveformer_tpu.parallel.mesh import default_mesh_for_batch, replicate, shard_batch
@@ -100,7 +107,7 @@ def main():
         jax.block_until_ready(m["loss"])
         dt = (time.time() - t0) / args.steps
         print(json.dumps({
-            "mode": "device_only", "batch": args.batch,
+            "mode": "device_only", "batch": args.batch, "remat": args.remat,
             "ms_per_step": round(dt * 1e3, 1),
             "steps_per_s": round(1.0 / dt, 3),
         }))
@@ -123,6 +130,7 @@ def main():
             return out
 
     logdir = tempfile.mkdtemp(prefix="bench_train_logs_")
+    TimedTrainer.loss_readback_window = args.window
     trainer = TimedTrainer(
         model,
         max_epochs=args.epochs,
@@ -141,6 +149,7 @@ def main():
     sps = args.steps / (sum(warm) / len(warm))
     print(json.dumps({
         "mode": "pipeline", "aug": args.aug, "batch": args.batch,
+        "window": args.window, "remat": args.remat,
         "workers": args.workers, "nproc_host": os.cpu_count(),
         "epoch_secs": [round(t, 1) for t in times],
         "warm_steps_per_s": round(sps, 3),
