@@ -1,22 +1,43 @@
 """Grid pull/push resampling (TPU-native equivalent of MONAI's C++/CUDA
-`resample/pushpull_*` extension, `monai/csrc/resample/*`).
+`resample/pushpull_*` extension, `monai/csrc/resample/pushpull_cpu.cpp` +
+`interpolation_common.h`).
 
-`grid_pull` samples a channels-last volume at arbitrary coordinates
-(trilinear, selectable bound mode); `grid_push` is its exact adjoint
-(scatter-add splatting). They are linked through `jax.custom_vjp` exactly as
-the reference's C++ backward does — the gradient of pull w.r.t. the volume is
-a push of the output cotangent, and vice versa.
+`grid_pull` samples a channels-last volume at arbitrary coordinates;
+`grid_push` is its exact adjoint (scatter-add splatting). They are linked
+through `jax.custom_vjp` exactly as the reference's C++ backward does — the
+gradient of pull w.r.t. the volume is a push of the output cotangent, and
+vice versa.
+
+Interpolation is a separable B-spline of selectable order per dimension
+(0 = nearest, 1 = tri-linear, 2 = quadratic, 3 = cubic — the orders the
+reference surfaces through `monai/networks/layers/spatial_transforms.py`),
+with a selectable bound mode per dimension. Like the reference kernel, the
+input volume is interpreted as spline COEFFICIENTS: for orders ≥ 2 the
+caller prefilters if interpolating-spline semantics are wanted (scipy
+equivalence: `map_coordinates(..., order=k, prefilter=False)`).
+
+Bound-mode correspondence (ours ↔ scipy.ndimage):
+  zero ↔ 'constant' (cval=0), clamp ↔ 'nearest', reflect ↔ 'mirror'.
+
+Everything is expressed as gather/scatter over a static
+`(order_z+1)·(order_y+1)·(order_x+1)` tap stencil — unrolled at trace
+time, so XLA sees static-shape gathers (TPU-friendly; no dynamic control
+flow).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
 BOUND_MODES = ("zero", "clamp", "reflect")
+MAX_ORDER = 3
+
+BoundArg = Union[str, Sequence[str]]
+OrderArg = Union[int, Sequence[int]]
 
 
 def _apply_bound(idx: jax.Array, n: int, mode: str):
@@ -34,52 +55,107 @@ def _apply_bound(idx: jax.Array, n: int, mode: str):
     raise ValueError(f"unknown bound mode {mode!r}")
 
 
-def _corner_terms(coords: jax.Array, shape: Tuple[int, int, int], bound: str):
-    """8 (index, weight) corner pairs for trilinear interpolation.
+def _per_dim(arg, what, allowed=None) -> Tuple:
+    """Broadcast a scalar-or-3-sequence argument to a 3-tuple."""
+    if isinstance(arg, (str, int)):
+        arg = (arg,) * 3
+    arg = tuple(arg)
+    if len(arg) != 3:
+        raise ValueError(f"{what} must be scalar or length-3, got {arg!r}")
+    if allowed is not None:
+        for a in arg:
+            if a not in allowed:
+                raise ValueError(f"unknown {what} {a!r} (allowed: {allowed})")
+    return arg
 
-    coords: (N, 3) float voxel coordinates. Returns lists of
-    ((N,) flat index, (N,) weight).
+
+def _spline_taps(x: jax.Array, order: int):
+    """1-D B-spline stencil: list of (integer index, fp32 weight) pairs.
+
+    The weights are the order-`order` cardinal B-spline evaluated at the
+    distance to each support node — the same basis the reference kernel
+    unrolls per order in `interpolation_common.h`. Support is order+1 taps.
     """
+    if order == 0:
+        i = jnp.floor(x + 0.5).astype(jnp.int32)
+        return [(i, jnp.ones_like(x, jnp.float32))]
+    if order == 1:
+        i0 = jnp.floor(x).astype(jnp.int32)
+        t = (x - i0).astype(jnp.float32)
+        return [(i0, 1.0 - t), (i0 + 1, t)]
+    if order == 2:
+        # nodes at the 3 integers around round(x); t ∈ [-0.5, 0.5]
+        i = jnp.floor(x + 0.5).astype(jnp.int32)
+        t = (x - i).astype(jnp.float32)
+        return [
+            (i - 1, 0.5 * (0.5 - t) ** 2),
+            (i, 0.75 - t * t),
+            (i + 1, 0.5 * (0.5 + t) ** 2),
+        ]
+    if order == 3:
+        i = jnp.floor(x).astype(jnp.int32)
+        t = (x - i).astype(jnp.float32)
+        t2, t3 = t * t, t * t * t
+        return [
+            (i - 1, (1.0 - t) ** 3 / 6.0),
+            (i, (3.0 * t3 - 6.0 * t2 + 4.0) / 6.0),
+            (i + 1, (-3.0 * t3 + 3.0 * t2 + 3.0 * t + 1.0) / 6.0),
+            (i + 2, t3 / 6.0),
+        ]
+    raise ValueError(f"spline order must be 0..{MAX_ORDER}, got {order}")
+
+
+def _stencil_terms(coords: jax.Array, shape: Tuple[int, int, int],
+                   bound: Tuple[str, str, str], order: Tuple[int, int, int]):
+    """Separable 3-D stencil: list of ((N,) flat index, (N,) weight)."""
     d, h, w = shape
-    c0 = jnp.floor(coords).astype(jnp.int32)
-    frac = coords - c0
+    taps_z = _spline_taps(coords[:, 0], order[0])
+    taps_y = _spline_taps(coords[:, 1], order[1])
+    taps_x = _spline_taps(coords[:, 2], order[2])
     terms = []
-    for dz in (0, 1):
-        for dy in (0, 1):
-            for dx in (0, 1):
-                iz, mz = _apply_bound(c0[:, 0] + dz, d, bound)
-                iy, my = _apply_bound(c0[:, 1] + dy, h, bound)
-                ix, mx = _apply_bound(c0[:, 2] + dx, w, bound)
-                wz = frac[:, 0] if dz else 1.0 - frac[:, 0]
-                wy = frac[:, 1] if dy else 1.0 - frac[:, 1]
-                wx = frac[:, 2] if dx else 1.0 - frac[:, 2]
-                weight = wz * wy * wx * mz * my * mx
+    for rz, wz in taps_z:
+        iz, mz = _apply_bound(rz, d, bound[0])
+        for ry, wy in taps_y:
+            iy, my = _apply_bound(ry, h, bound[1])
+            for rx, wx in taps_x:
+                ix, mx = _apply_bound(rx, w, bound[2])
+                weight = (wz * wy * wx * mz * my * mx).astype(jnp.float32)
                 flat = (iz * h + iy) * w + ix
-                terms.append((flat, weight.astype(jnp.float32)))
+                terms.append((flat, weight))
     return terms
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def grid_pull(volume: jax.Array, coords: jax.Array, bound: str = "zero"):
-    """Sample `volume` (D, H, W, C) at `coords` (N, 3) → (N, C)."""
-    return _pull_impl(volume, coords, bound)
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def grid_pull(volume: jax.Array, coords: jax.Array,
+              bound: BoundArg = "zero", order: OrderArg = 1):
+    """Sample `volume` (D, H, W, C) at `coords` (N, 3) → (N, C).
+
+    `bound` and `order` accept a scalar or one value per spatial dim
+    (reference: per-dim `bound`/`interpolation` lists in
+    `monai/networks/layers/spatial_transforms.py`).
+    """
+    return _pull_impl(volume, coords, bound, order)
 
 
-def _pull_impl(volume, coords, bound):
+def _pull_impl(volume, coords, bound, order):
+    bound = _per_dim(bound, "bound mode", BOUND_MODES)
+    order = _per_dim(order, "spline order", tuple(range(MAX_ORDER + 1)))
     d, h, w, c = volume.shape
     flat_vol = volume.reshape(-1, c).astype(jnp.float32)
     out = jnp.zeros((coords.shape[0], c), jnp.float32)
-    for flat, weight in _corner_terms(coords, (d, h, w), bound):
+    for flat, weight in _stencil_terms(coords, (d, h, w), bound, order):
         out = out + weight[:, None] * flat_vol[flat]
     return out.astype(volume.dtype)
 
 
-def _push_impl(values, coords, shape, bound):
+def _push_impl(values, coords, shape, bound, order):
+    bound = _per_dim(bound, "bound mode", BOUND_MODES)
+    order = _per_dim(order, "spline order", tuple(range(MAX_ORDER + 1)))
     d, h, w = shape
     c = values.shape[-1]
     out = jnp.zeros((d * h * w, c), jnp.float32)
     v32 = values.astype(jnp.float32)
-    for flat, weight in _corner_terms(coords, (d, h, w), bound):
+    for flat, weight in _stencil_terms(coords, (d, h, w), bound, order):
         out = out.at[flat].add(weight[:, None] * v32)
     return out.reshape(d, h, w, c)
 
@@ -88,24 +164,27 @@ def grid_push(
     values: jax.Array,
     coords: jax.Array,
     shape: Tuple[int, int, int],
-    bound: str = "zero",
+    bound: BoundArg = "zero",
+    order: OrderArg = 1,
 ):
     """Splat `values` (N, C) at `coords` (N, 3) into a (D, H, W, C) volume —
-    the adjoint of `grid_pull`."""
-    return _push_impl(values, coords, shape, bound)
+    the exact adjoint of `grid_pull` at the same bound/order."""
+    return _push_impl(values, coords, shape, bound, order)
 
 
-def _pull_fwd(volume, coords, bound):
-    return _pull_impl(volume, coords, bound), (volume, coords)
+def _pull_fwd(volume, coords, bound, order):
+    return _pull_impl(volume, coords, bound, order), (volume, coords)
 
 
-def _pull_bwd(bound, res, g):
+def _pull_bwd(bound, order, res, g):
     volume, coords = res
     # d/d volume: push the cotangent back through the same weights
-    dvol = _push_impl(g, coords, volume.shape[:3], bound).astype(volume.dtype)
+    dvol = _push_impl(
+        g, coords, volume.shape[:3], bound, order
+    ).astype(volume.dtype)
     # d/d coords via autodiff on the weights
     def sample_at(crd):
-        return _pull_impl(volume, crd, bound)
+        return _pull_impl(volume, crd, bound, order)
 
     _, vjp = jax.vjp(sample_at, coords)
     (dcoords,) = vjp(g)
@@ -116,7 +195,62 @@ grid_pull.defvjp(_pull_fwd, _pull_bwd)
 
 
 def grid_count(coords: jax.Array, shape: Tuple[int, int, int],
-               bound: str = "zero") -> jax.Array:
+               bound: BoundArg = "zero", order: OrderArg = 1) -> jax.Array:
     """Splat unit weights (the reference extension's `count` op)."""
     ones = jnp.ones((coords.shape[0], 1), jnp.float32)
-    return _push_impl(ones, coords, shape, bound)[..., 0]
+    return _push_impl(ones, coords, shape, bound, order)[..., 0]
+
+
+def spline_prefilter(volume: jax.Array, order: OrderArg = 3,
+                     bound: BoundArg = "reflect") -> jax.Array:
+    """Solve for B-spline coefficients so that `grid_pull(coeffs, ...)`
+    INTERPOLATES `volume` (scipy `spline_filter` semantics, per axis).
+
+    The reference kernel leaves prefiltering to the caller; this helper
+    closes the loop for interpolating-spline use. Implemented as the
+    classic causal/anti-causal recursive filter (Unser 1993) via
+    `lax.scan` per axis — compiles to two scans per filtered axis.
+    Supported bounds for the filter: 'reflect' (scipy 'mirror') and
+    'clamp' (approximated by reflect init — exact in the interior).
+    """
+    order_t = _per_dim(order, "spline order", tuple(range(MAX_ORDER + 1)))
+    poles_by_order = {
+        0: (), 1: (),
+        2: (2.0 ** 0.5 * 2.0 - 3.0,),        # sqrt(8) - 3
+        3: (3.0 ** 0.5 - 2.0,),              # sqrt(3) - 2
+    }
+    out = volume.astype(jnp.float32)
+    for axis, k in enumerate(order_t):
+        for pole in poles_by_order[k]:
+            out = _filter_axis(out, axis, pole)
+    return out.astype(volume.dtype)
+
+
+def _filter_axis(x: jax.Array, axis: int, z: float) -> jax.Array:
+    """One pole of the recursive B-spline filter along `axis` (mirror
+    boundary, matching scipy's default)."""
+    x = jnp.moveaxis(x, axis, 0)
+    n = x.shape[0]
+    gain = (1.0 - z) * (1.0 - 1.0 / z)
+    xg = x * gain
+    # causal init: mirror-boundary geometric sum (truncated at machine eps)
+    horizon = min(n, int(jnp.ceil(-30.0 / jnp.log10(abs(z)))) if abs(z) > 0 else n)
+    powers = z ** jnp.arange(horizon, dtype=jnp.float32)
+    c0 = jnp.tensordot(powers, xg[:horizon], axes=(0, 0))
+
+    def causal(carry, xi):
+        c = xi + z * carry
+        return c, c
+
+    _, cplus = jax.lax.scan(causal, c0, xg[1:])
+    cplus = jnp.concatenate([c0[None], cplus], axis=0)
+    # anti-causal init (mirror): c-[n-1] = z/(z^2-1) * (c+[n-1] + z*c+[n-2])
+    last = (z / (z * z - 1.0)) * (cplus[-1] + z * cplus[-2])
+
+    def anticausal(carry, ci):
+        c = z * (carry - ci)
+        return c, c
+
+    _, cminus = jax.lax.scan(anticausal, last, cplus[:-1][::-1])
+    out = jnp.concatenate([cminus[::-1], last[None]], axis=0)
+    return jnp.moveaxis(out, 0, axis)
