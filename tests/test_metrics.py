@@ -4,12 +4,17 @@ import numpy as np
 import pytest
 
 from waveformer_tpu.metrics.segmentation import (
+    ALL_METRICS,
     ConfusionStats,
+    average_surface_distance,
+    average_surface_distance_symmetric,
     brats_case_metrics,
     cal_metric,
     convert_labels_brats,
     dice,
     dice_jax,
+    evaluate_metrics,
+    hausdorff_distance,
     hausdorff_distance_95,
 )
 
@@ -128,3 +133,148 @@ class TestNifti:
         nifti.save(nifti.NiftiImage(data=data), p)
         img = nifti.load(p)
         np.testing.assert_allclose(img.data, data, rtol=1e-6)
+
+
+class TestMedpyGoldens:
+    """Checked-in golden values from the line-faithful medpy transcription
+    (`tools/gen_metric_goldens.py`; regenerate with that script). These pin
+    the full surface-distance protocol — erosion footprint, XOR border,
+    EDT sampling, POOLED hd95 percentile — to medpy's conventions
+    (reference `5_compute_metrics.py:15-21`)."""
+
+    @pytest.fixture(scope="class")
+    def goldens(self):
+        import json
+        import os
+
+        path = os.path.join(
+            os.path.dirname(__file__), "fixtures", "metric_goldens.json"
+        )
+        with open(path) as f:
+            return json.load(f)
+
+    def _cases(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "gen_metric_goldens",
+            os.path.join(
+                os.path.dirname(__file__), "..", "tools",
+                "gen_metric_goldens.py",
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return {name: (p, g, sp) for name, p, g, sp in mod.cases()}
+
+    def test_all_goldens(self, goldens):
+        cases = self._cases()
+        assert set(goldens) == set(cases)
+        for name, vals in goldens.items():
+            pred, gt, spacing = cases[name]
+            np.testing.assert_allclose(
+                dice(pred, gt), vals["dice"], rtol=1e-12, err_msg=name)
+            np.testing.assert_allclose(
+                hausdorff_distance(pred, gt, spacing), vals["hd"],
+                rtol=1e-10, err_msg=name)
+            np.testing.assert_allclose(
+                hausdorff_distance_95(pred, gt, spacing), vals["hd95"],
+                rtol=1e-10, err_msg=name)
+            np.testing.assert_allclose(
+                average_surface_distance(pred, gt, spacing), vals["asd"],
+                rtol=1e-10, err_msg=name)
+            np.testing.assert_allclose(
+                average_surface_distance_symmetric(pred, gt, spacing),
+                vals["assd"], rtol=1e-10, err_msg=name)
+
+
+class TestMetricRegistry:
+    """Name-keyed registry parity (`evaluation/metric.py:385-405`)."""
+
+    REF_KEYS = {
+        "False Positive Rate", "Dice", "Jaccard", "Hausdorff Distance",
+        "Hausdorff Distance 95", "Precision", "Recall",
+        "Avg. Symmetric Surface Distance", "Avg. Surface Distance",
+        "Accuracy", "False Omission Rate", "Negative Predictive Value",
+        "False Negative Rate", "True Negative Rate", "False Discovery Rate",
+        "Total Positives Test", "Total Negatives Test",
+        "Total Positives Reference", "total Negatives Reference",
+    }
+
+    def test_registry_keys_verbatim(self):
+        assert set(ALL_METRICS) == self.REF_KEYS
+
+    def test_rates_known_confusion(self):
+        # pred: 12 voxels, gt: 8 voxels, overlap 6, in a 4x4x4=64 volume
+        pred = np.zeros((4, 4, 4), bool)
+        gt = np.zeros((4, 4, 4), bool)
+        pred.flat[:12] = True
+        gt.flat[6:14] = True
+        # tp=6 fp=6 fn=2 tn=50
+        out = evaluate_metrics(
+            pred, gt,
+            ["False Positive Rate", "False Omission Rate",
+             "False Negative Rate", "True Negative Rate",
+             "False Discovery Rate", "Negative Predictive Value",
+             "Accuracy", "Total Positives Test", "Total Negatives Test",
+             "Total Positives Reference", "total Negatives Reference"],
+        )
+        np.testing.assert_allclose(out["False Positive Rate"], 6 / 56)
+        np.testing.assert_allclose(out["False Omission Rate"], 2 / 52)
+        np.testing.assert_allclose(out["False Negative Rate"], 2 / 8)
+        np.testing.assert_allclose(out["True Negative Rate"], 50 / 56)
+        np.testing.assert_allclose(out["False Discovery Rate"], 6 / 12)
+        np.testing.assert_allclose(out["Negative Predictive Value"], 50 / 52)
+        np.testing.assert_allclose(out["Accuracy"], 56 / 64)
+        assert out["Total Positives Test"] == 12
+        assert out["Total Negatives Test"] == 52
+        assert out["Total Positives Reference"] == 8
+        assert out["total Negatives Reference"] == 56
+
+    def test_nan_for_nonexisting_conventions(self):
+        empty = np.zeros((3, 3, 3), bool)
+        full = np.ones((3, 3, 3), bool)
+        some = np.zeros((3, 3, 3), bool)
+        some[1, 1, 1] = True
+        # dice/jaccard: NaN only when BOTH empty (`metric.py:88-96`)
+        assert np.isnan(ALL_METRICS["Dice"](empty, empty))
+        assert ALL_METRICS["Dice"](some, empty) == 0.0
+        # precision: NaN when test empty; recall: NaN when reference empty
+        assert np.isnan(ALL_METRICS["Precision"](empty, some))
+        assert np.isnan(ALL_METRICS["Recall"](some, empty))
+        # FOR/NPV: NaN when test full; TNR/FPR: NaN when reference full
+        assert np.isnan(ALL_METRICS["False Omission Rate"](full, some))
+        assert np.isnan(ALL_METRICS["Negative Predictive Value"](full, some))
+        assert np.isnan(ALL_METRICS["True Negative Rate"](some, full))
+        assert np.isnan(ALL_METRICS["False Positive Rate"](some, full))
+        # surface metrics: NaN for empty OR full masks
+        assert np.isnan(ALL_METRICS["Hausdorff Distance 95"](empty, some))
+        assert np.isnan(ALL_METRICS["Avg. Surface Distance"](some, full))
+        # nan_for_nonexisting=False → 0
+        assert ALL_METRICS["Precision"](
+            empty, some, nan_for_nonexisting=False) == 0.0
+
+    def test_surface_metrics_through_registry(self):
+        a = np.zeros((16, 16, 16), bool)
+        b = np.zeros((16, 16, 16), bool)
+        a[4:10, 4:10, 4:10] = True
+        b[6:12, 4:10, 4:10] = True
+        out = evaluate_metrics(
+            a, b,
+            ["Hausdorff Distance", "Hausdorff Distance 95",
+             "Avg. Surface Distance", "Avg. Symmetric Surface Distance"],
+            voxel_spacing=(1.0, 1.0, 1.0),
+        )
+        assert out["Hausdorff Distance"] == hausdorff_distance(a, b, (1, 1, 1))
+        assert out["Hausdorff Distance 95"] == hausdorff_distance_95(
+            a, b, (1, 1, 1))
+        assert out["Avg. Surface Distance"] == average_surface_distance(
+            a, b, (1, 1, 1))
+
+    def test_unknown_metric_raises(self):
+        with pytest.raises(KeyError):
+            evaluate_metrics(
+                np.ones((2, 2, 2), bool), np.ones((2, 2, 2), bool),
+                ["NoSuchMetric"],
+            )

@@ -36,7 +36,8 @@ except Exception:  # pragma: no cover
 
 
 class ConfusionStats:
-    """tp/fp/tn/fn bundle (capability of `evaluation/metric.py:25-102`)."""
+    """tp/fp/tn/fn bundle + existence flags
+    (capability of `evaluation/metric.py:25-102`)."""
 
     def __init__(self, pred: np.ndarray, gt: np.ndarray):
         p = np.asarray(pred).astype(bool)
@@ -45,6 +46,12 @@ class ConfusionStats:
         self.fp = int(np.count_nonzero(p & ~g))
         self.fn = int(np.count_nonzero(~p & g))
         self.tn = int(np.count_nonzero(~p & ~g))
+        # existence flags (`evaluation/metric.py:71-78`): which degenerate
+        # masks make a rate undefined
+        self.pred_empty = self.tp + self.fp == 0
+        self.pred_full = self.fn + self.tn == 0
+        self.gt_empty = self.tp + self.fn == 0
+        self.gt_full = self.fp + self.tn == 0
 
     @property
     def n(self):
@@ -77,6 +84,26 @@ class ConfusionStats:
         p, r = self.precision(), self.recall()
         denom = beta**2 * p + r
         return (1 + beta**2) * p * r / denom if denom else 0.0
+
+    # ---- rate family (`evaluation/metric.py:222-270`) ----
+    def false_positive_rate(self) -> float:
+        return 1.0 - self.specificity()
+
+    def false_omission_rate(self) -> float:
+        denom = self.fn + self.tn
+        return self.fn / denom if denom else 0.0
+
+    def false_negative_rate(self) -> float:
+        return 1.0 - self.recall()
+
+    def true_negative_rate(self) -> float:
+        return self.specificity()
+
+    def false_discovery_rate(self) -> float:
+        return 1.0 - self.precision()
+
+    def negative_predictive_value(self) -> float:
+        return 1.0 - self.false_omission_rate()
 
 
 def dice(pred: np.ndarray, gt: np.ndarray) -> float:
@@ -120,10 +147,13 @@ def hausdorff_distance_95(
     gt: np.ndarray,
     voxelspacing: Optional[Sequence[float]] = None,
 ) -> float:
-    """medpy `binary.hd95`: max of the two directed 95th percentiles."""
+    """medpy `binary.hd95`: the 95th percentile of the POOLED symmetric
+    surface-distance set, `np.percentile(np.hstack((d1, d2)), 95)` — not
+    the max of two directed percentiles (golden-tested against the medpy
+    transcription in `tools/gen_metric_goldens.py`)."""
     d1 = surface_distances(pred, gt, voxelspacing)
     d2 = surface_distances(gt, pred, voxelspacing)
-    return float(max(np.percentile(d1, 95), np.percentile(d2, 95)))
+    return float(np.percentile(np.hstack((d1, d2)), 95))
 
 
 def average_surface_distance(
@@ -133,6 +163,137 @@ def average_surface_distance(
 ) -> float:
     """medpy `binary.asd`."""
     return float(surface_distances(pred, gt, voxelspacing).mean())
+
+
+def hausdorff_distance(
+    pred: np.ndarray,
+    gt: np.ndarray,
+    voxelspacing: Optional[Sequence[float]] = None,
+) -> float:
+    """medpy `binary.hd`: max of the two directed maximum distances."""
+    d1 = surface_distances(pred, gt, voxelspacing)
+    d2 = surface_distances(gt, pred, voxelspacing)
+    return float(max(d1.max(), d2.max()))
+
+
+def average_surface_distance_symmetric(
+    pred: np.ndarray,
+    gt: np.ndarray,
+    voxelspacing: Optional[Sequence[float]] = None,
+) -> float:
+    """medpy `binary.assd`: mean of the two directed means."""
+    return float(
+        np.mean(
+            (
+                average_surface_distance(pred, gt, voxelspacing),
+                average_surface_distance(gt, pred, voxelspacing),
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# name-keyed metric registry (`evaluation/metric.py:385-405`)
+# --------------------------------------------------------------------------- #
+
+
+def _registry_metric(rate_attr, nan_when):
+    """Wrap a ConfusionStats rate with the reference's NaN-for-nonexisting
+    convention: `nan_when(stats)` names the degenerate masks for which the
+    rate is undefined (`evaluation/metric.py:81-270`)."""
+
+    def metric_fn(test=None, reference=None, nan_for_nonexisting=True,
+                  **kwargs):
+        stats = ConfusionStats(test, reference)
+        if nan_when(stats):
+            return float("nan") if nan_for_nonexisting else 0.0
+        return float(getattr(stats, rate_attr)())
+
+    metric_fn.__name__ = rate_attr
+    return metric_fn
+
+
+def _registry_surface(fn):
+    """Surface-distance metrics are undefined for empty OR full masks
+    (`evaluation/metric.py:316-405`)."""
+
+    def metric_fn(test=None, reference=None, nan_for_nonexisting=True,
+                  voxel_spacing=None, **kwargs):
+        stats = ConfusionStats(test, reference)
+        if (
+            stats.pred_empty or stats.pred_full
+            or stats.gt_empty or stats.gt_full
+        ):
+            return float("nan") if nan_for_nonexisting else 0.0
+        return float(fn(test, reference, voxel_spacing))
+
+    metric_fn.__name__ = fn.__name__
+    return metric_fn
+
+
+def _registry_total(expr):
+    def metric_fn(test=None, reference=None, **kwargs):
+        s = ConfusionStats(test, reference)
+        return float(expr(s))
+
+    return metric_fn
+
+
+# Keys reproduce the reference's registry verbatim, including the
+# lowercase-t "total Negatives Reference" quirk (`metric.py:385-405`).
+ALL_METRICS = {
+    "False Positive Rate": _registry_metric(
+        "false_positive_rate", lambda s: s.gt_full),
+    "Dice": _registry_metric(
+        "dice", lambda s: s.pred_empty and s.gt_empty),
+    "Jaccard": _registry_metric(
+        "jaccard", lambda s: s.pred_empty and s.gt_empty),
+    "Hausdorff Distance": _registry_surface(hausdorff_distance),
+    "Hausdorff Distance 95": _registry_surface(hausdorff_distance_95),
+    "Precision": _registry_metric("precision", lambda s: s.pred_empty),
+    "Recall": _registry_metric("recall", lambda s: s.gt_empty),
+    "Avg. Symmetric Surface Distance": _registry_surface(
+        average_surface_distance_symmetric),
+    "Avg. Surface Distance": _registry_surface(average_surface_distance),
+    "Accuracy": _registry_total(lambda s: s.accuracy()),
+    "False Omission Rate": _registry_metric(
+        "false_omission_rate", lambda s: s.pred_full),
+    "Negative Predictive Value": _registry_metric(
+        "negative_predictive_value", lambda s: s.pred_full),
+    "False Negative Rate": _registry_metric(
+        "false_negative_rate", lambda s: s.gt_empty),
+    "True Negative Rate": _registry_metric(
+        "true_negative_rate", lambda s: s.gt_full),
+    "False Discovery Rate": _registry_metric(
+        "false_discovery_rate", lambda s: s.pred_empty),
+    "Total Positives Test": _registry_total(lambda s: s.tp + s.fp),
+    "Total Negatives Test": _registry_total(lambda s: s.tn + s.fn),
+    "Total Positives Reference": _registry_total(lambda s: s.tp + s.fn),
+    "total Negatives Reference": _registry_total(lambda s: s.tn + s.fp),
+}
+
+
+def evaluate_metrics(
+    pred: np.ndarray,
+    gt: np.ndarray,
+    metrics: Sequence[str],
+    voxel_spacing: Optional[Sequence[float]] = None,
+    nan_for_nonexisting: bool = True,
+) -> dict:
+    """Evaluate named registry metrics for one binary pair — the
+    `Evaluator(metrics=[...])` surface of `evaluation/metric.py`."""
+    out = {}
+    for name in metrics:
+        if name not in ALL_METRICS:
+            raise KeyError(
+                f"unknown metric {name!r}; available: {sorted(ALL_METRICS)}"
+            )
+        out[name] = ALL_METRICS[name](
+            test=pred, reference=gt,
+            nan_for_nonexisting=nan_for_nonexisting,
+            voxel_spacing=voxel_spacing,
+        )
+    return out
 
 
 # --------------------------------------------------------------------------- #
