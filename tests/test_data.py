@@ -442,3 +442,134 @@ class TestCTPreprocessors:
               "--dataset-type", "ct-organs", "--num-processes", "1",
               "--organ-list", "liver.nii.gz", "spleen.nii.gz"])
         assert os.path.exists(os.path.join(out, "BDMAP_00000001.npz"))
+
+
+class TestGlobalContextPreprocessor:
+    """BraTS23-global round trip (`preprocessor_brats23_global.py:171-307`):
+    preprocess emits data_global/seg_global alongside the standard
+    artifacts; GlobalContextDataset reads them back precomputed; the
+    context channel feeds a train step."""
+
+    def _write_raw_case(self, case_dir, rng):
+        import os
+
+        from waveformer_tpu.utils import nifti
+
+        os.makedirs(case_dir, exist_ok=True)
+        shape = (30, 28, 26)  # (X, Y, Z) on disk
+        affine = np.diag([1.0, 1.0, 2.0, 1.0]).astype(np.float32)
+        for fname in ("t2w.nii.gz", "t2f.nii.gz"):
+            vol = np.zeros(shape, np.float32)
+            vol[4:26, 4:24, 4:22] = 80 + 30 * rng.standard_normal((22, 20, 18))
+            nifti.save(nifti.NiftiImage(data=vol, affine=affine),
+                       os.path.join(case_dir, fname))
+        seg = np.zeros(shape, np.float32)
+        seg[8:18, 8:18, 6:14] = 1
+        seg[10:14, 10:14, 8:12] = 3
+        nifti.save(nifti.NiftiImage(data=seg, affine=affine),
+                   os.path.join(case_dir, "seg.nii.gz"))
+
+    def test_roundtrip_preprocess_load_train_step(self, tmp_path):
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        from waveformer_tpu.data.dataset import MedicalDataset, unpack_dataset
+        from waveformer_tpu.data.dataset_variants import GlobalContextDataset
+        from waveformer_tpu.data.preprocessing import (
+            GlobalContextPreprocessor,
+        )
+
+        rng = np.random.default_rng(0)
+        raw = tmp_path / "raw" / "images"
+        for name in ("case_000", "case_001"):
+            self._write_raw_case(str(raw / name), rng)
+
+        prep = GlobalContextPreprocessor(
+            base_dir=str(tmp_path / "raw"),
+            image_dir="images",
+            data_filenames=("t2w.nii.gz", "t2f.nii.gz"),
+            seg_filename="seg.nii.gz",
+            global_size=(12, 12, 12),
+        )
+        out_dir = str(tmp_path / "pre")
+        for case in prep.get_iterable_list():
+            prep.run_case_save(case, out_dir)
+
+        # artifact: one npz holding data + seg + the global pair
+        with np.load(os.path.join(out_dir, "case_000.npz")) as z:
+            assert set(z.files) >= {"data", "seg", "data_global", "seg_global"}
+            dg, sg = z["data_global"], z["seg_global"]
+        assert dg.shape == (2, 12, 12, 12) and dg.dtype == np.float32
+        assert sg.shape == (1, 12, 12, 12)
+        assert set(np.unique(sg)) <= {0, 1, 3}  # label-safe seg downsample
+
+        # loader: precomputed context comes back without recomputation,
+        # both packed (npz) and unpacked (memmap) — and matches the artifact
+        for unpack in (False, True):
+            if unpack:
+                unpack_dataset(out_dir, num_processes=1)
+            base = MedicalDataset(
+                out_dir, ["case_000", "case_001"], unpack=False,
+            )
+            ds = GlobalContextDataset(base, global_shape=(999, 999, 999))
+            item = ds["case_000"]
+            # shape proves the stored artifact was used, not the on-the-fly
+            # fallback (which would produce the bogus 999-shape)
+            assert item["data_global"].shape == (2, 12, 12, 12)
+            np.testing.assert_allclose(
+                np.asarray(item["data_global"]), dg, rtol=1e-6
+            )
+
+        # train step consuming the context channel: tiny dual-input model
+        import flax.linen as nn
+
+        class TinyGlobalNet(nn.Module):
+            @nn.compact
+            def __call__(self, patch, ctx):
+                # ctx (B, C, 12, 12, 12) → pooled embedding, broadcast-add
+                c = jnp.mean(ctx, axis=(2, 3, 4))  # (B, C)
+                h = nn.Conv(4, (3, 3, 3), padding="SAME")(patch)
+                return h + nn.Dense(4)(c)[:, None, None, None, :]
+
+        model = TinyGlobalNet()
+        patch = jnp.asarray(
+            np.asarray(item["data"][:, :8, :8, :8], np.float32)
+        ).transpose(1, 2, 3, 0)[None]
+        ctx = jnp.asarray(np.asarray(item["data_global"], np.float32))[None]
+        params = model.init(jax.random.PRNGKey(0), patch, ctx)
+        seg_patch = jnp.asarray(
+            np.asarray(item["seg"][0, :8, :8, :8], np.int32)
+        )[None, ..., None]
+
+        def loss_fn(p):
+            logits = model.apply(p, patch, ctx)
+            onehot = jax.nn.one_hot(seg_patch[..., 0], 4)
+            return -jnp.mean(
+                jnp.sum(jax.nn.log_softmax(logits) * onehot, -1)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(loss))
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+
+    def test_cli_builds_global_driver(self):
+        from waveformer_tpu.scripts.preprocess import build_preprocessor
+
+        import argparse
+
+        args = argparse.Namespace(
+            dataset_type="mri-global",
+            modalities=["t2w.nii.gz", "t2f.nii.gz"],
+            seg_filename="seg.nii.gz",
+            global_size=[64, 64, 64],
+        )
+        prep = build_preprocessor(args, "/data/raw/images")
+        from waveformer_tpu.data.preprocessing import (
+            GlobalContextPreprocessor,
+        )
+
+        assert isinstance(prep, GlobalContextPreprocessor)
+        assert prep.global_size == (64, 64, 64)

@@ -20,7 +20,14 @@ from waveformer_tpu.data.dataset import MedicalDataset
 
 class GlobalContextDataset:
     """Adds `data_global`: the full volume resampled to a fixed (coarse)
-    shape — global anatomical context for patch-based training."""
+    shape — global anatomical context for patch-based training.
+
+    When the dataset was preprocessed by `GlobalContextPreprocessor`
+    (`wtpu-preprocess --dataset-type mri-global`), the precomputed context
+    is read straight from the stored artifact — `{case}_data_global.npy`
+    (unpacked, memory-mapped) or the `data_global` key in `{case}.npz` —
+    with no recomputation; otherwise it is derived on the fly from the
+    full-resolution volume (and memoized)."""
 
     def __init__(
         self,
@@ -44,16 +51,34 @@ class GlobalContextDataset:
     def case_names(self):
         return self.base.case_names
 
+    def _precomputed(self, name: str):
+        import os
+
+        base = os.path.join(self.base.data_dir, name)
+        npy = base + "_data_global.npy"
+        if os.path.exists(npy):
+            return np.load(npy, mmap_mode="r")
+        npz = base + ".npz"
+        if os.path.exists(npz):
+            with np.load(npz) as z:
+                if "data_global" in z.files:
+                    return z["data_global"]
+        return None
+
     def _global(self, name: str, data: np.ndarray) -> np.ndarray:
         if name not in self._cache:
-            from scipy import ndimage
+            pre = self._precomputed(name)
+            if pre is not None:
+                self._cache[name] = pre
+            else:
+                from scipy import ndimage
 
-            zoom = [1.0] + [
-                t / s for t, s in zip(self.global_shape, data.shape[1:])
-            ]
-            self._cache[name] = ndimage.zoom(
-                np.asarray(data, np.float32), zoom, order=self.order
-            ).astype(np.float32)
+                zoom = [1.0] + [
+                    t / s for t, s in zip(self.global_shape, data.shape[1:])
+                ]
+                self._cache[name] = ndimage.zoom(
+                    np.asarray(data, np.float32), zoom, order=self.order
+                ).astype(np.float32)
         return self._cache[name]
 
     def __getitem__(self, idx_or_name) -> Dict:

@@ -553,6 +553,58 @@ class MultiModalityPreprocessor(DefaultPreprocessor):
 
 
 @dataclass
+class GlobalContextPreprocessor(MultiModalityPreprocessor):
+    """BraTS23-global variant (`preprocessor_brats23_global.py:171-307`):
+    alongside the standard crop/normalize/resample artifacts, emits a
+    whole-volume context pair — the resampled case downsampled to a fixed
+    `global_size` (data order-3, seg order-1) — stored as `data_global` /
+    `seg_global` keys in the SAME `{case}.npz`, so `GlobalContextDataset`
+    reads the context channel without recomputation."""
+
+    global_size: Tuple[int, int, int] = (128, 128, 128)
+
+    def run_case_npy(self, data, seg, properties, intensity_props=None):
+        data, seg, properties = super().run_case_npy(
+            data, seg, properties, intensity_props
+        )
+        # global view: the full (cropped+resampled) volume at a fixed coarse
+        # shape (`preprocessor_brats23_global.py:210-246`)
+        spacing = list(self.out_spacing)
+        data_global = resample_data_or_seg_to_shape(
+            data, self.global_size, spacing, spacing,
+            is_seg=False, order=3, order_z=0,
+        ).astype(np.float32)
+        properties["global_size"] = tuple(int(s) for s in self.global_size)
+        properties["data_global"] = data_global
+        if seg is not None:
+            properties["seg_global"] = resample_data_or_seg_to_shape(
+                seg, self.global_size, spacing, spacing,
+                is_seg=True, order=1, order_z=0,
+            ).astype(seg.dtype)
+        return data, seg, properties
+
+    def run_case_save(self, case_name: str, out_dir: str,
+                      intensity_props: Optional[Dict] = None) -> str:
+        data, seg, properties = self.read_data(case_name)
+        data, seg, properties = self.run_case_npy(
+            data, seg, properties, intensity_props
+        )
+        data_global = properties.pop("data_global")
+        seg_global = properties.pop("seg_global", None)
+        os.makedirs(out_dir, exist_ok=True)
+        out_base = os.path.join(out_dir, case_name)
+        arrays = {"data": data, "data_global": data_global}
+        if seg is not None:
+            arrays["seg"] = seg
+        if seg_global is not None:
+            arrays["seg_global"] = seg_global
+        np.savez_compressed(out_base + ".npz", **arrays)
+        with open(out_base + ".pkl", "wb") as f:
+            pickle.dump(properties, f)
+        return case_name
+
+
+@dataclass
 class CTPreprocessor(DefaultPreprocessor):
     """Flat-file CT dataset preprocessing (liver2017 capability,
     `default_preprocessor_liver_2017.py:231-259`): cases are

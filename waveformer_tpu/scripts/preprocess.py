@@ -12,6 +12,7 @@ import os
 from waveformer_tpu.config import load_config
 from waveformer_tpu.data.preprocessing import (
     CTPreprocessor,
+    GlobalContextPreprocessor,
     MultiInputRegionPreprocessor,
     MultiModalityPreprocessor,
     OrganMaskPreprocessor,
@@ -29,6 +30,14 @@ def build_preprocessor(args, raw_dir):
             image_dir=os.path.basename(raw_dir.rstrip("/")),
             data_filenames=tuple(args.modalities),
             seg_filename=args.seg_filename,
+        )
+    if args.dataset_type == "mri-global":
+        return GlobalContextPreprocessor(
+            base_dir=os.path.dirname(raw_dir.rstrip("/")) or ".",
+            image_dir=os.path.basename(raw_dir.rstrip("/")),
+            data_filenames=tuple(args.modalities),
+            seg_filename=args.seg_filename,
+            global_size=tuple(args.global_size),
         )
     if args.dataset_type == "ct":
         return CTPreprocessor(
@@ -69,12 +78,19 @@ def main(argv=None):
     ap.add_argument("--num-processes", type=int, default=8)
     ap.add_argument(
         "--dataset-type",
-        choices=("mri", "ct", "ct-organs", "multi-input"),
+        choices=("mri", "mri-global", "ct", "ct-organs", "multi-input"),
         default="mri",
-        help="mri: per-case modality dirs (BraTS); ct: flat volume-*/"
-        "segmentation-* pairs (liver2017); ct-organs: per-case dir with one "
-        "CT + per-organ binary masks (AbdomenAtlas); multi-input: N input "
-        "images per case + region-format labels (CT normalization)",
+        help="mri: per-case modality dirs (BraTS); mri-global: mri plus a "
+        "downsampled whole-volume context pair stored as data_global/"
+        "seg_global (BraTS23-global, preprocessor_brats23_global.py); ct: "
+        "flat volume-*/segmentation-* pairs (liver2017); ct-organs: "
+        "per-case dir with one CT + per-organ binary masks (AbdomenAtlas); "
+        "multi-input: N input images per case + region-format labels (CT "
+        "normalization)",
+    )
+    ap.add_argument(
+        "--global-size", nargs=3, type=int, default=[128, 128, 128],
+        help="whole-volume context shape for mri-global",
     )
     ap.add_argument(
         "--regions", nargs="+", default=None,
