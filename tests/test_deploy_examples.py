@@ -124,3 +124,26 @@ class TestExampleDrivers:
 
     def test_liver_ct_example(self, tmp_path):
         self._run("liver_ct", tmp_path)
+
+    def test_brats2023_example(self, tmp_path):
+        """Flagship-dataset toy driver: (N, 3, 2) TC/WT/ET metric array
+        (`5_compute_metrics.py` protocol) instead of the 2-organ shape."""
+        sys.path.insert(0, os.path.join(EXAMPLES, "brats2023"))
+        try:
+            import importlib
+
+            mod = importlib.import_module("run_example")
+            importlib.reload(mod)
+            mod.main([
+                "--workdir", str(tmp_path / "brats2023"),
+                "--cases", "4",
+                "--epochs", "1",
+                "--steps", "3",
+            ])
+        finally:
+            sys.path.pop(0)
+        workdir = tmp_path / "brats2023"
+        metrics = np.load(workdir / "result_metrics.npy")
+        assert metrics.ndim == 3 and metrics.shape[1:] == (3, 2)
+        preds = list((workdir / "predictions").glob("*.nii.gz"))
+        assert preds
