@@ -353,3 +353,64 @@ class TestValidationDiceSemantics:
         # classes 2 and 3 are absent from GT; NaN only if also absent from
         # prediction — class 1 present in GT must be a number
         assert not np.isnan(d[0, 0])
+
+
+class TestValidationSingleGpu:
+    """Reference aggregation contract (`trainer.py:216-269`): NaN-aware
+    per-component means over per-case validation outputs, all-NaN
+    component -> 0, (means, all_outputs) return shape."""
+
+    def _trainer(self, tmp_path):
+        return Trainer(
+            _tiny_model(), max_epochs=1, batch_size=1,
+            patch_size=(16, 16, 16), logdir=str(tmp_path / "logs"),
+            num_workers=0, resume=False,
+        )
+
+    def test_vector_outputs_nan_aware_mean(self, tiny_dataset, tmp_path):
+        t = self._trainer(tmp_path)
+        outs = iter([
+            np.array([0.8, np.nan, 0.6]),
+            np.array([0.6, np.nan, np.nan]),
+            np.array([np.nan, np.nan, 0.2]),
+        ])
+
+        class FakeDS:
+            def __len__(self):
+                return 3
+
+            def __getitem__(self, i):
+                return {"i": i}
+
+        means, all_outputs = t.validation_single_gpu(
+            FakeDS(), predict_case=lambda item: next(outs)
+        )
+        np.testing.assert_allclose(means, [0.7, 0.0, 0.4])
+        assert all_outputs.shape == (3, 3)
+
+    def test_scalar_outputs(self, tiny_dataset, tmp_path):
+        t = self._trainer(tmp_path)
+        vals = iter([0.5, np.nan, 0.9])
+
+        class FakeDS:
+            def __len__(self):
+                return 3
+
+            def __getitem__(self, i):
+                return {"i": i}
+
+        mean, all_outputs = t.validation_single_gpu(
+            FakeDS(), predict_case=lambda item: next(vals)
+        )
+        assert mean == pytest.approx(0.7)
+        assert all_outputs.shape == (3,)
+
+    def test_default_hook_runs_inference(self, tiny_dataset, tmp_path):
+        from waveformer_tpu.data.dataset import MedicalDataset
+
+        t = self._trainer(tmp_path)
+        ds = MedicalDataset(tiny_dataset, ["case_0"])
+        means, all_outputs = t.validation_single_gpu(ds)
+        assert all_outputs.shape == (1, t.num_classes - 1)
+        means = np.asarray(means)
+        assert np.isfinite(means).all()

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -422,15 +422,74 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
     def validation_single_gpu(
-        self, test_ds, predict_case: Callable
-    ) -> List[Any]:
-        """Sequential full-case prediction loop
-        (`trainer.py:216-269` capability)."""
-        results = []
+        self, test_ds, predict_case: Optional[Callable] = None
+    ) -> Tuple[Any, np.ndarray]:
+        """Single-process full-case validation with the reference's
+        aggregation contract (`trainer.py:216-269`): run the per-case
+        validation step over the whole dataset, then NaN-aware-average the
+        outputs — per component when the step returns a vector (per-class
+        dice), scalar otherwise; a component that is NaN for every case
+        averages to 0. Returns ``(mean_or_means, all_outputs)``.
+
+        ``predict_case(item) -> float | sequence`` is the model-define
+        hook; omitted, it defaults to sliding-window inference + per-class
+        dice against the stored segmentation (the reference's
+        ``define_model_waveformer`` + ``validation_step`` pairing).
+        """
+        if jax.process_count() > 1:
+            raise RuntimeError(
+                "validation_single_gpu is single-process by contract "
+                "(reference refuses under DDP, trainer.py:217-219); use "
+                "sharded inference instead"
+            )
+        if predict_case is None:
+            from waveformer_tpu.inference.sliding_window import (
+                SlidingWindowInferer,
+            )
+
+            inferer = SlidingWindowInferer(
+                roi_size=self.patch_size, sw_batch_size=2, overlap=0.5,
+                mirror_axes=None, layout="channels_last",
+            )
+            apply = lambda patches, params: self.model.apply(params, patches)
+            if not hasattr(self, "state"):
+                # standalone use before train(): initialize fresh params
+                # (the reference's define-model hook loads its checkpoint
+                # here; use load_params() for that)
+                item0 = test_ds[0]
+                example = {
+                    "data": np.asarray(
+                        item0["data"], np.float32
+                    ).transpose(1, 2, 3, 0)[None][:, : self.patch_size[0],
+                                                  : self.patch_size[1],
+                                                  : self.patch_size[2]],
+                }
+                self.state = self._init_state(example)
+            params = self.state.params
+
+            def predict_case(item):  # default hook: stitch + per-class dice
+                vol = np.asarray(item["data"], np.float32).transpose(1, 2, 3, 0)
+                logits = inferer(
+                    vol, apply, self.num_classes, predictor_args=(params,)
+                )
+                pred = np.asarray(jnp.argmax(logits, axis=-1))
+                return self._case_dice(pred, np.asarray(item["seg"])[0])
+
+        outputs = []
         for i in range(len(test_ds)):
-            item = test_ds[i]
-            results.append(predict_case(item))
-        return results
+            out = predict_case(test_ds[i])
+            outputs.append(np.asarray(out, np.float64))
+            self.log.info(
+                f"validation case {i + 1}/{len(test_ds)}: {outputs[-1]}"
+            )
+        all_outputs = np.stack(outputs)
+        # NaN-aware per-component mean; all-NaN component → 0
+        counts = np.sum(~np.isnan(all_outputs), axis=0)
+        sums = np.nansum(all_outputs, axis=0)
+        means = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+        if all_outputs.ndim == 1:
+            return float(means), all_outputs
+        return means, all_outputs
 
     def load_params(self, path: str):
         from waveformer_tpu.training.checkpoint import load_params_npz
